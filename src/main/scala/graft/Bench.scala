@@ -1,24 +1,98 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Synth
+import graft.algo.{ConnectedComponents, PageRank, SpMV, TriangleCount}
+import graft.exec.{GatherStrategy, IterConfig}
+import graft.operators.{Ann, Dedup, TextAnalysis}
+
+/** Benchmark main (driver contract): one JSON line
+  * `{"metric":..,"value":N,"unit":"sec","queries":{..},"sf":..}`.
+  *
+  * Headline lanes mirror the reference's measurement targets (SURVEY.md §6):
+  * SpMV / PageRank throughput on the deterministic banded graph at V=2^17
+  * (the reference's own scaling sweep tops out at V=2^17,
+  * `/root/reference/src/main.cpp:124-162`), plus the training-data operators
+  * on the sf-dir document/embedding tables. Per-iteration edge throughput is
+  * emitted under "throughput" (edges-processed/sec, BASELINE.json metric).
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+  val BENCH_N: Long = 1L << 17
+  val BENCH_L: Int = 16
+
+  def benches(sfDir: String): Seq[(String, SparkSession => Double)] = Seq(
+    "spmv_217" -> { s =>
+      SpMV(Synth.band(s, BENCH_N, BENCH_L), Synth.state(s, BENCH_N),
+        None, GatherStrategy.ShuffleJoin).agg(sum("x")).head(); 0.0
+    },
+    "spmv_217_broadcast" -> { s =>
+      SpMV(Synth.band(s, BENCH_N, BENCH_L), Synth.state(s, BENCH_N),
+        None, GatherStrategy.BroadcastState).agg(sum("x")).head(); 0.0
+    },
+    "pagerank_217_10it" -> { s =>
+      val r = PageRank.run(s, Synth.band(s, BENCH_N, BENCH_L), BENCH_N,
+        cfg = IterConfig(tol = 0.0, maxIter = 10),
+        strategy = GatherStrategy.BroadcastState)
+      // edges/sec over measured iterations (excludes one-time norm build)
+      val t = r.metrics.map(_.seconds).sum
+      if (t > 0) r.metrics.map(_.edges).sum / t else 0.0
+    },
+    "cc_blocks_1m" -> { s =>
+      ConnectedComponents.run(s, Synth.blocks(s, 1L << 20, 1L << 14), 1L << 20,
+        cfg = IterConfig(tol = 0.5, maxIter = 40)).labels.count(); 0.0
+    },
+    "triangles_216" -> { s =>
+      TriangleCount.countTriangles(s, Synth.band(s, 1L << 16, 8)); 0.0
+    },
+    "dedup_minhash_sf" -> { s =>
+      Dedup.minhashPairs(s.read.parquet(s"$sfDir/documents.parquet"),
+        "doc_id", "text", k = 32, bands = 8, threshold = 0.5).count(); 0.0
+    },
+    "text_analyze_sf" -> { s =>
+      TextAnalysis.analyze(s.read.parquet(s"$sfDir/documents.parquet"),
+        "doc_id", "text").agg(sum("n_tokens")).head(); 0.0
+    },
+    "ann_brute_sf" -> { s =>
+      val emb = s.read.parquet(s"$sfDir/embeddings.parquet")
+      val q = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Ann.bruteForceTopK(emb, q, 10).count(); 0.0
+    })
+
+  def session(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = session(cpus)
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val extra = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    benches(sfDir).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        val aux = fn(spark)
+        if (aux > 0) extra(name + "_edges_per_sec") = aux
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      results(name) = (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val th = extra.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val total = results.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"throughput":$th,"sf":"$sfDir","cores":$cpus}""")
     spark.stop()
   }
 }

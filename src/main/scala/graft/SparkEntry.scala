@@ -1,13 +1,477 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.{Mtx, Synth}
+import graft.extract.Extract
+import graft.graph.{AdjacencyBuilder, VertexDict}
+import graft.algo.{ConnectedComponents, LabelPropagation, PageRank, SpMV, TriangleCount}
+import graft.exec.{Gather, GatherStrategy, IterConfig}
+import graft.operators.{Ann, Dedup, TextAnalysis}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data-pipeline operators), with a DuckDB
+  * oracle wherever the semantics are ANSI-SQL-expressible. Synthetic graph
+  * queries regenerate their input closed-form on BOTH sides (Spark `range`
+  * vs DuckDB `range`) so the oracle is end-to-end independent.
+  *
+  * Floating-point policy: values produced by identical scalar arithmetic are
+  * left raw (bit-identical across engines); values produced by ORDER-VARYING
+  * accumulation (sums, averages, PageRank) are rounded to a tolerance-safe
+  * number of decimals on both sides (SURVEY.md §1.3.5).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ---- fixture scales (small: Verify runs at sf0.01 on local[4]) ----
+  private val BAND_N = 2048L; private val BAND_L = 8
+  private val SPMV_N = 2048L; private val SPMV_L = 8
+  private val PR_N = 512L; private val PR_L = 8; private val PR_ITERS = 5
+  private val CC_N = 600L; private val CC_B = 30L
+  private val TRI_N = 512L; private val TRI_L = 6
+  private val PAGES_N = 256L; private val PAGES_L = 6
+  private val SKEW_N = 3000L
+
+  private def t(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
+
+  /** Flagship: full link-graph pipeline on the synthetic page table —
+    * pages -> extract text+links -> vertex dictionary -> edge table ->
+    * PageRank -> top pages. Driver smoke-checks rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val pages = Synth.pages(spark, 128, 4)
+    val links = pages.select(col("url").as("src_url"),
+      explode(Extract.linksOf(col("html"))).as("dst_url"))
+    val dict = VertexDict.fromUrls(
+      pages.select("url").union(links.select(col("dst_url").as("url"))))
+    val edges = VertexDict.resolve(links, dict)
+    val pr = PageRank.run(spark, edges, dict.count(),
+      cfg = IterConfig(tol = 1e-6, maxIter = 50)).state
+    pr.join(dict, "id").orderBy(col("x").desc, col("url"))
+      .select(col("url"), col("x").as("pagerank")).limit(20)
+  }
+
+  // ======================= SQL oracle builders =======================
+
+  /** Band edge CTE — mirrors Synth.band. */
+  private def sqlBand(n: Long, l: Int): String =
+    s"""edges AS (
+       |  SELECT i AS src, (CASE WHEN i >= $l THEN i - $l ELSE 0 END) + j AS dst,
+       |         (((i*31 + ((CASE WHEN i >= $l THEN i - $l ELSE 0 END)+j)*17) % 1000) + 1) / 1000.0 AS w
+       |  FROM range(0, $n) t(i), range(0, $l) u(j))""".stripMargin
+
+  /** Skew edge CTE — mirrors Synth.skew. */
+  private def sqlSkew(n: Long): String =
+    s"""edges AS (
+       |  SELECT DISTINCT src, dst,
+       |         (((src*31 + dst*17) % 1000) + 1) / 1000.0 AS w
+       |  FROM (SELECT i AS src, unnest([0, i//2, (i*7) % $n, (i*13+5) % $n]) AS dst
+       |        FROM range(0, $n) t(i)))""".stripMargin
+
+  /** Unrolled PageRank SQL (no dangling vertices in band graphs). */
+  private def sqlPagerank(n: Long, l: Int, iters: Int, damping: Double): String = {
+    val sb = new StringBuilder
+    sb.append("WITH ").append(sqlBand(n, l)).append(",\n")
+    sb.append(s"norm AS (SELECT src, dst, w / (sum(w) OVER (PARTITION BY src)) AS p FROM edges),\n")
+    sb.append(s"v AS (SELECT i AS id FROM range(0, $n) t(i)),\n")
+    sb.append(s"x0 AS (SELECT id, 1.0/$n AS x FROM v)")
+    for (k <- 1 to iters) {
+      sb.append(s""",
+        |x$k AS (
+        |  SELECT v.id, (${1.0 - damping}/$n) + $damping * coalesce(g.s, 0) AS x
+        |  FROM v LEFT JOIN (
+        |    SELECT norm.dst AS id, sum(norm.p * x${k - 1}.x) AS s
+        |    FROM norm JOIN x${k - 1} ON norm.src = x${k - 1}.id
+        |    GROUP BY norm.dst) g USING (id))""".stripMargin)
+    }
+    sb.append(s"\nSELECT id, round(x, 10) AS x FROM x$iters ORDER BY id")
+    sb.toString
+  }
+
+  // =========================== queries ===========================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- S6: deterministic banded generator (the reference's only seeded source) ---
+    "graph_band_edges" -> ((s, _) =>
+      Synth.band(s, BAND_N, BAND_L).orderBy("src", "dst")),
+
+    // --- C2: transpose ---
+    "graph_transpose" -> ((s, _) =>
+      AdjacencyBuilder.transpose(Synth.band(s, BAND_N, BAND_L))
+        .orderBy("src", "dst")),
+
+    // --- C1: COO->CSR adjacency build (grouped, dst-sorted arrays) ---
+    "graph_adjacency" -> ((s, _) =>
+      AdjacencyBuilder.outAdjacency(Synth.band(s, BAND_N, BAND_L))
+        .select(col("src"), col("dsts"),
+          transform(col("ws"), w => round(w, 9)).as("ws"))
+        .orderBy("src")),
+
+    // --- A5/A6: degree and skew statistics ---
+    "graph_degrees" -> ((s, _) =>
+      Synth.band(s, BAND_N, BAND_L).groupBy("src")
+        .agg(count(lit(1)).as("degree"), round(sum("w"), 9).as("wsum"))
+        .withColumnRenamed("src", "id").orderBy("id")),
+
+    "graph_skew_stats" -> ((s, _) => {
+      val deg = Synth.skew(s, SKEW_N).groupBy("src")
+        .agg(count(lit(1)).as("degree"))
+      deg.agg(
+        count(lit(1)).as("vertices"),
+        sum("degree").as("edges"),
+        max("degree").as("max_degree"),
+        round(avg("degree"), 6).as("avg_degree"),
+        round(expr("percentile(degree, 0.5)"), 6).as("p50_degree"),
+        round(expr("percentile(degree, 0.99)"), 6).as("p99_degree"))
+    }),
+
+    // --- S1/S2: MatrixMarket scan + symmetric expansion + normalize ---
+    "mtx_scan" -> ((s, _) =>
+      Mtx.fromLines(s, lfat5Mtx)._2.orderBy("src", "dst")),
+
+    // --- K1/K2: the SpMV kernel (shuffle-join gather) ---
+    "graph_spmv" -> ((s, _) =>
+      SpMV(Synth.band(s, SPMV_N, SPMV_L), Synth.state(s, SPMV_N),
+          Some(s.range(SPMV_N).toDF("id")), GatherStrategy.ShuffleJoin)
+        .select(col("id"), round(col("x"), 6).as("flow")).orderBy("id")),
+
+    // --- K6: broadcast-state gather (must equal K1) ---
+    "graph_spmv_broadcast" -> ((s, _) =>
+      SpMV(Synth.band(s, SPMV_N, SPMV_L), Synth.state(s, SPMV_N),
+          Some(s.range(SPMV_N).toDF("id")), GatherStrategy.BroadcastState)
+        .select(col("id"), round(col("x"), 6).as("flow")).orderBy("id")),
+
+    // --- north rule: PageRank (fixed 5 iterations to match unrolled SQL) ---
+    "pagerank_band" -> ((s, _) =>
+      PageRank.run(s, Synth.band(s, PR_N, PR_L), PR_N,
+          cfg = IterConfig(tol = 0.0, maxIter = PR_ITERS))
+        .state.select(col("id"), round(col("x"), 10).as("x")).orderBy("id")),
+
+    // --- north rule: connected components (closed-form block oracle) ---
+    "cc_blocks" -> ((s, _) =>
+      ConnectedComponents.run(s, Synth.blocks(s, CC_N, CC_B), CC_N)
+        .labels.orderBy("id")),
+
+    // --- north rule: label propagation (deterministic; no SQL oracle) ---
+    "lp_blocks" -> ((s, _) =>
+      LabelPropagation.run(s, Synth.blocks(s, CC_N, CC_B), CC_N, maxIter = 5)
+        .labels.orderBy("id")),
+
+    // --- north rule: triangle counting ---
+    "triangles_band" -> ((s, _) => {
+      val n = TriangleCount.countTriangles(s, Synth.band(s, TRI_N, TRI_L))
+      s.createDataFrame(Seq(Tuple1(n))).toDF("n_triangles")
+    }),
+
+    // --- K11 analog: salted two-phase aggregation == plain aggregation ---
+    "skew_salted_sum" -> ((s, _) =>
+      Gather.sumSalted(Synth.skew(s, SKEW_N), "dst", col("w"), col("src"), 16)
+        .select(col("dst"), round(col("sum"), 9).as("wsum")).orderBy("dst")),
+
+    // --- page-table pipeline: extractor golden (byte-identical text) ---
+    "pages_extract" -> ((s, _) =>
+      Synth.pages(s, PAGES_N, PAGES_L)
+        .select(col("url"), Extract.textOf(col("html")).as("text"))
+        .orderBy("url")),
+
+    // --- link extraction from html anchors ---
+    "pages_links" -> ((s, _) =>
+      Synth.pages(s, PAGES_N, PAGES_L)
+        .select(col("url").as("src_url"),
+          explode(Extract.linksOf(col("html"))).as("dst_url"))
+        .orderBy("src_url", "dst_url")),
+
+    // --- vertex dictionary: dense deterministic ids ---
+    "vertex_dict" -> ((s, _) =>
+      VertexDict.fromUrls(Synth.pages(s, PAGES_N, PAGES_L).select("url"))
+        .orderBy("id")),
+
+    // --- end-to-end: pages -> extract -> dict -> edge table ---
+    "edges_from_pages" -> ((s, _) => {
+      val pages = Synth.pages(s, PAGES_N, PAGES_L)
+      val links = pages.select(col("url").as("src_url"),
+        explode(Extract.linksOf(col("html"))).as("dst_url"))
+      val dict = VertexDict.fromUrls(pages.select("url"))
+      VertexDict.resolve(links, dict).orderBy("src", "dst")
+    }),
+
+    // --- dedup: exact ---
+    "dedup_exact" -> ((s, sf) =>
+      Dedup.exact(s.read.parquet(t(sf, "documents")), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // --- dedup: minhash+LSH near-dup pairs (no SQL oracle: xxhash64) ---
+    "dedup_minhash" -> ((s, sf) =>
+      Dedup.minhashPairs(s.read.parquet(t(sf, "documents")), "doc_id", "text",
+          k = 32, bands = 8, threshold = 0.5)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a", "b")),
+
+    // --- dedup: simhash ---
+    "dedup_simhash" -> ((s, sf) =>
+      Dedup.simhash(s.read.parquet(t(sf, "documents")), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // --- dedup: exact n-gram jaccard similarity join ---
+    "dedup_jaccard" -> ((s, sf) =>
+      Dedup.jaccardPairs(s.read.parquet(t(sf, "documents")), "doc_id", "text",
+          shingleWidth = 2, threshold = 0.3)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a", "b")),
+
+    // --- similarity search: brute-force cosine top-k (exact baseline) ---
+    "ann_brute_topk" -> ((s, sf) => {
+      val emb = s.read.parquet(t(sf, "embeddings"))
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Ann.bruteForceTopK(emb, queries, 5)
+        .select(col("query_id"), col("vec_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // --- similarity search: LSH-bucketed approximate top-k (scale path) ---
+    "ann_lsh_topk" -> ((s, sf) => {
+      val emb = s.read.parquet(t(sf, "embeddings"))
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Ann.lshTopK(emb, queries, 5, bits = 8, tables = 4)
+        .select(col("query_id"), col("vec_id"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // --- dedup: embedding-cosine near-dup pairs ---
+    "dedup_cosine" -> ((s, sf) =>
+      Ann.cosineNearDupPairs(s.read.parquet(t(sf, "embeddings")), 0.45)
+        .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("a", "b")),
+
+    // --- text analysis: token counts (SQL-expressible) ---
+    "text_token_count" -> ((s, sf) =>
+      s.read.parquet(t(sf, "documents"))
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")),
+
+    // --- text analysis: character-class stats ---
+    "text_stats" -> ((s, sf) => {
+      val d = s.read.parquet(t(sf, "documents"))
+      val len = length(col("text")).cast("double")
+      d.select(col("doc_id"),
+        length(col("text")).as("n_chars"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        round(length(regexp_replace(col("text"), "[^A-Za-z]", "")) / greatest(len, lit(1.0)), 6).as("alpha_ratio"),
+        round(length(regexp_replace(col("text"), "[^.,;:!?]", "")) / greatest(len, lit(1.0)), 6).as("punct_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // --- text analysis: language id + quality + fingerprint (engine-defined) ---
+    "text_analyze" -> ((s, sf) =>
+      TextAnalysis.analyze(s.read.parquet(t(sf, "documents")), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // --- relational coverage over the provided star schema ---
+    "q1_agg" -> ((s, sf) =>
+      s.read.parquet(t(sf, "lineitem"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q3_topk_join" -> ((s, sf) => {
+      val c = s.read.parquet(t(sf, "customer")).filter(col("c_mktsegment") === "BUILDING")
+      val o = s.read.parquet(t(sf, "orders"))
+      val l = s.read.parquet(t(sf, "lineitem"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
+    }),
+
+    "q_window_running" -> ((s, sf) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      s.read.parquet(t(sf, "orders"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum("o_totalprice").over(w), 2).as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "q_events_hourly" -> ((s, sf) =>
+      s.read.parquet(t(sf, "events"))
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+        .orderBy("h", "event_type")))
+
+  // =========================== oracles ===========================
+
+  def oracleSql: Map[String, String] = Map(
+    "graph_band_edges" ->
+      s"WITH ${sqlBand(BAND_N, BAND_L)} SELECT src, dst, w FROM edges ORDER BY src, dst",
+
+    "graph_transpose" ->
+      s"WITH ${sqlBand(BAND_N, BAND_L)} SELECT dst AS src, src AS dst, w FROM edges ORDER BY src, dst",
+
+    "graph_adjacency" ->
+      s"""WITH ${sqlBand(BAND_N, BAND_L)}
+         |SELECT src, list(dst ORDER BY dst) AS dsts,
+         |       list(round(w, 9) ORDER BY dst) AS ws
+         |FROM edges GROUP BY src ORDER BY src""".stripMargin,
+
+    "graph_degrees" ->
+      s"""WITH ${sqlBand(BAND_N, BAND_L)}
+         |SELECT src AS id, count(*) AS degree, round(sum(w), 9) AS wsum
+         |FROM edges GROUP BY src ORDER BY id""".stripMargin,
+
+    "graph_skew_stats" ->
+      s"""WITH ${sqlSkew(SKEW_N)},
+         |deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY src)
+         |SELECT count(*) AS vertices, sum(degree) AS edges,
+         |       max(degree) AS max_degree, round(avg(degree), 6) AS avg_degree,
+         |       round(quantile_cont(degree, 0.5), 6) AS p50_degree,
+         |       round(quantile_cont(degree, 0.99), 6) AS p99_degree
+         |FROM deg""".stripMargin,
+
+    "mtx_scan" ->
+      """SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+        |       CAST(w AS DOUBLE) AS w
+        |FROM (VALUES (0,0,1.1),(0,1,1.2),(0,4,5.1),(1,0,1.2),(1,3,2.4),
+        |             (2,3,4.3),(2,4,3.5),(3,1,2.4),(3,2,4.3),(4,0,5.1),(4,2,3.5))
+        |     t(src, dst, w)
+        |ORDER BY src, dst""".stripMargin,
+
+    "graph_spmv" ->
+      s"""WITH ${sqlBand(SPMV_N, SPMV_L)}
+         |SELECT src AS id,
+         |       round(sum(w * (((dst*13) % 1000) + 1) / 1000.0), 6) AS flow
+         |FROM edges GROUP BY src ORDER BY id""".stripMargin,
+
+    "graph_spmv_broadcast" ->
+      s"""WITH ${sqlBand(SPMV_N, SPMV_L)}
+         |SELECT src AS id,
+         |       round(sum(w * (((dst*13) % 1000) + 1) / 1000.0), 6) AS flow
+         |FROM edges GROUP BY src ORDER BY id""".stripMargin,
+
+    "pagerank_band" -> sqlPagerank(PR_N, PR_L, PR_ITERS, 0.85),
+
+    "cc_blocks" ->
+      s"SELECT i AS id, (i // $CC_B) * $CC_B AS label FROM range(0, $CC_N) t(i) ORDER BY id",
+
+    "triangles_band" ->
+      s"""WITH ${sqlBand(TRI_N, TRI_L)},
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM edges WHERE src <> dst)
+         |SELECT count(*) AS n_triangles
+         |FROM und e1 JOIN und e2 ON e1.b = e2.a
+         |     JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+
+    "skew_salted_sum" ->
+      s"""WITH ${sqlSkew(SKEW_N)}
+         |SELECT dst, round(sum(w), 9) AS wsum FROM edges
+         |GROUP BY dst ORDER BY dst""".stripMargin,
+
+    "pages_extract" ->
+      s"""SELECT 'https://example.org/page/' || lpad(CAST(i AS VARCHAR), 8, '0') AS url,
+         |  'Page ' || i || ' ' || $sqlVocab[(i % 12) + 1] || ' ' || $sqlVocab[(i % 7) + 1]
+         |  || (CASE WHEN i % 7 = 0 THEN ' fox & dog' ELSE '' END) || ' end' AS text
+         |FROM range(0, $PAGES_N) t(i) ORDER BY url""".stripMargin,
+
+    "pages_links" ->
+      s"""WITH ${sqlBand(PAGES_N, PAGES_L)}
+         |SELECT 'https://example.org/page/' || lpad(CAST(src AS VARCHAR), 8, '0') AS src_url,
+         |       'https://example.org/page/' || lpad(CAST(dst AS VARCHAR), 8, '0') AS dst_url
+         |FROM edges ORDER BY src_url, dst_url""".stripMargin,
+
+    "vertex_dict" ->
+      s"""SELECT 'https://example.org/page/' || lpad(CAST(i AS VARCHAR), 8, '0') AS url,
+         |       i AS id
+         |FROM range(0, $PAGES_N) t(i) ORDER BY id""".stripMargin,
+
+    "edges_from_pages" ->
+      s"""WITH ${sqlBand(PAGES_N, PAGES_L)}
+         |SELECT src, dst, 1.0 AS w FROM edges ORDER BY src, dst""".stripMargin,
+
+    "dedup_exact" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+        |g AS (SELECT content_hash, count(*) AS group_size, min(doc_id) AS keep_id
+        |      FROM h GROUP BY content_hash)
+        |SELECT h.doc_id, h.content_hash, g.group_size, g.keep_id,
+        |       h.doc_id <> g.keep_id AS is_duplicate
+        |FROM h JOIN g USING (content_hash) ORDER BY doc_id""".stripMargin,
+
+    "ann_brute_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+        |           WHERE vec_id % 100 = 0),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id,
+        |         list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cosine
+        |  FROM embeddings c, q),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, vec_id, rank, round(cosine, 6) AS cosine
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_stats" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1.0), 6) AS alpha_ratio,
+        |  round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / greatest(length(text), 1.0), 6) AS punct_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_topk_join" ->
+      """SELECT o_orderkey,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |     JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS h, event_type,
+        |  count(*) AS n, round(sum(value), 4) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin)
+
+  private val sqlVocab =
+    "(['alpha','beta','gamma','delta','epsilon','zeta','eta','theta','iota','kappa','lambda','mu'])"
+
+  /** LFAT5-pattern fixture (FIXTURES.md §1; cf. /root/reference/test.mtx). */
+  val lfat5Mtx: Seq[String] = Seq(
+    "%%MatrixMarket matrix coordinate real symmetric",
+    "5 5 6",
+    "1 1 1.1",
+    "2 1 1.2",
+    "5 1 5.1",
+    "4 2 2.4",
+    "4 3 4.3",
+    "5 3 3.5")
 }

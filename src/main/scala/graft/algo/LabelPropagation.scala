@@ -1,0 +1,59 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.exec.{IterConfig, Iterate}
+import graft.graph.AdjacencyBuilder
+
+/** Synchronous label propagation (community detection) over the symmetrized
+  * link set. Every vertex starts with its own id as label; each iteration it
+  * adopts the most frequent label among its neighbors, ties broken by the
+  * SMALLEST label — fully deterministic (no randomized tie-break), so results
+  * are exactly reproducible and exact-comparable (north rule "label
+  * propagation assignments exact").
+  *
+  * Synchronous LP can 2-cycle on bipartite structures; the loop therefore
+  * stops on no-change OR maxIter, and determinism guarantees the same final
+  * assignment for the same (graph, maxIter).
+  */
+object LabelPropagation {
+
+  final case class Result(
+      labels: DataFrame, // (id, label)
+      metrics: Seq[graft.model.IterationMetrics])
+
+  def run(
+      spark: SparkSession,
+      edges: DataFrame,
+      nVertices: Long,
+      maxIter: Int = 20): Result = {
+    val links = AdjacencyBuilder.symmetrize(edges)
+      .repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nLinks = links.count()
+
+    val vertices = spark.range(nVertices).toDF("id")
+    val init = vertices.select(col("id"), col("id").cast("double").as("x"))
+    val cfg = IterConfig(tol = 0.5, maxIter = maxIter)
+
+    val loop = Iterate.loop(init, cfg, nLinks, "sync-lp") { (state, _) =>
+      // histogram of neighbor labels per vertex, gathered at src
+      val hist = links
+        .join(state.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src"), col("x").as("nbr_label"))
+        .agg(count(lit(1)).as("cnt"))
+      // argmax by (count desc, label asc): max of struct(cnt, -label)
+      val winner = hist
+        .groupBy("src")
+        .agg(max(struct(col("cnt"), (-col("nbr_label")).as("neg"))).as("m"))
+        .select(col("src").as("id"), (-col("m.neg")).as("new_label"))
+      state.join(winner, Seq("id"), "left")
+        .select(col("id"), coalesce(col("new_label"), col("x")).as("x"))
+    }
+    links.unpersist()
+    Result(
+      loop.state.select(col("id"), col("x").cast("long").as("label")),
+      loop.metrics)
+  }
+}

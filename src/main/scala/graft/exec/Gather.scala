@@ -1,0 +1,85 @@
+package graft.exec
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The per-iteration gather-scatter kernel and its physical strategies.
+  *
+  * The reference's kernel taxonomy (SURVEY.md §2.3) is one axis: HOW the
+  * dense vertex-state vector x reaches the edge data.
+  *   - K1/K2 (COO/CSR scalar)     -> shuffle join state against edges
+  *   - K6-K10 (SIMD gather)       -> broadcast state, map-side lookup
+  *   - K11 (short-row/skew)       -> AQE skew join + salted aggregation
+  * Here that axis is an explicit [[GatherStrategy]]; `Auto` picks broadcast
+  * while the state fits comfortably in executor memory (~16 B/vertex), else
+  * shuffle — the same rule a 1000-executor cluster needs, sized by V not by
+  * guesswork (`spark.sql.autoBroadcastJoinThreshold` does not see through an
+  * iteration loop's changing statistics).
+  */
+sealed trait GatherStrategy
+object GatherStrategy {
+  /** Shuffle (sort-merge/hash) join of state with edges on the lookup key. */
+  case object ShuffleJoin extends GatherStrategy
+  /** Broadcast the state to every executor; edges never move. */
+  case object BroadcastState extends GatherStrategy
+  /** Size-based choice per run. */
+  final case class Auto(maxBroadcastVertices: Long = 50L * 1000 * 1000)
+      extends GatherStrategy
+
+  def resolve(s: GatherStrategy, vertexCount: Long): GatherStrategy = s match {
+    case Auto(maxV) =>
+      if (vertexCount <= maxV) BroadcastState else ShuffleJoin
+    case other => other
+  }
+}
+
+object Gather {
+
+  /** Generic gather: `y[key] = Σ_{msgs(key, lookup, p)} p * x[lookup]`.
+    *
+    * `msgs` is an edge-shaped DataFrame with columns (`keyCol`, `lookupCol`,
+    * `pCol`); `state` has (id, x). Returns (`keyCol`, x) — only keys with at
+    * least one message appear (callers complete with the vertex universe,
+    * mirroring the reference's trailing-isolated-vertex hazard,
+    * SURVEY.md §1.3.4).
+    *
+    * Physical shape, shuffle path: if `msgs` is hash-partitioned by
+    * `lookupCol`, only `state` (O(V)) shuffles for the join; the groupBy then
+    * partial-aggregates map-side before the O(V)-sized final shuffle. Edges
+    * themselves never move after the one-time adjacency build.
+    */
+  def gather(
+      msgs: DataFrame,
+      state: DataFrame,
+      keyCol: String,
+      lookupCol: String,
+      pCol: String,
+      strategy: GatherStrategy): DataFrame = {
+    val st = state.select(col("id").as(lookupCol), col("x"))
+    val joined = strategy match {
+      case GatherStrategy.BroadcastState => msgs.join(broadcast(st), lookupCol)
+      case _                             => msgs.join(st, lookupCol)
+    }
+    joined.groupBy(keyCol).agg(sum(col(pCol) * col("x")).as("x"))
+  }
+
+  /** Salted two-phase sum for hot aggregation keys (reference analog: the
+    * short-row MULTIROW kernel's skew axis,
+    * `/root/reference/include/graphCSR.hpp:13-81`). Phase 1 aggregates on
+    * (key, salt) — spreading a hot key over `numSalts` reducers — phase 2
+    * aggregates the ≤numSalts partials per key. Salt is derived
+    * deterministically from `saltSource` (any column uncorrelated with the
+    * key, e.g. the edge's other endpoint), never from rand(). */
+  def sumSalted(
+      df: DataFrame,
+      keyCol: String,
+      valueExpr: Column,
+      saltSource: Column,
+      numSalts: Int): DataFrame = {
+    df.withColumn("_salt", pmod(hash(saltSource), lit(numSalts)))
+      .groupBy(col(keyCol), col("_salt"))
+      .agg(sum(valueExpr).as("_partial"))
+      .groupBy(keyCol)
+      .agg(sum("_partial").as("sum"))
+  }
+}

@@ -1,0 +1,119 @@
+package graft.exec
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+import graft.model.IterationMetrics
+
+/** Iteration driver: convergence loop with lineage control and resumable
+  * snapshots.
+  *
+  * The reference re-invokes its kernel in a driver loop
+  * (`/root/reference/include/abstractGraph.hpp:119-129`); in Spark an
+  * unmanaged iterative plan grows its lineage without bound and stalls the
+  * planner by iteration ~50 (SURVEY.md §7.5.3). This driver:
+  *   - persists each state generation, unpersists the previous,
+  *   - truncates lineage with `localCheckpoint` every `checkpointEvery`
+  *     iterations,
+  *   - optionally writes a durable snapshot (parquet state + atomically
+  *     renamed JSON manifest) so ANY run is resumable mid-iteration
+  *     (north rule), and
+  *   - records per-iteration throughput metrics (edges/sec, delta).
+  */
+final case class IterConfig(
+    tol: Double = 1e-6,
+    maxIter: Int = 100,
+    checkpointEvery: Int = 1,
+    snapshotDir: Option[String] = None,
+    snapshotEvery: Int = 5)
+
+final case class LoopResult(state: DataFrame, metrics: Seq[IterationMetrics])
+
+object Iterate {
+
+  /** L-infinity distance between two (id, x) states. */
+  def lInf(oldState: DataFrame, newState: DataFrame): Double = {
+    val row = oldState.select(col("id"), col("x").as("x_old"))
+      .join(newState, "id")
+      .agg(max(abs(col("x") - col("x_old"))).as("d"))
+      .head()
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+  }
+
+  /** Run `step` from `init` until lInf < tol or maxIter.
+    *
+    * @param edgesPerIter edge count processed per iteration (for throughput)
+    * @param startIter    first iteration number (used by resume)
+    */
+  def loop(
+      init: DataFrame,
+      cfg: IterConfig,
+      edgesPerIter: Long,
+      strategyName: String = "",
+      startIter: Int = 0)(step: (DataFrame, Int) => DataFrame): LoopResult = {
+    // Each state generation is cut at a localCheckpoint boundary: a fresh
+    // LogicalRDD leaf with new attribute ids. This both bounds plan growth
+    // AND prevents "conflicting references" when old and new generations
+    // (which would otherwise share the same upstream plan, e.g. the vertex
+    // universe) meet in the convergence join.
+    var state = init.localCheckpoint(true)
+    val metrics = scala.collection.mutable.ArrayBuffer.empty[IterationMetrics]
+    var iter = startIter
+    var delta = Double.MaxValue
+    while (iter < cfg.maxIter && delta >= cfg.tol) {
+      val t0 = System.nanoTime()
+      val stepped = step(state, iter)
+      // localCheckpoint (not persist) every k iterations: persist alone
+      // truncates recompute but NOT the logical plan, which otherwise grows
+      // linearly and blows up the planner/AQE by iteration ~100.
+      val next =
+        if ((iter + 1) % cfg.checkpointEvery == 0) stepped.localCheckpoint(true)
+        else stepped.persist(StorageLevel.MEMORY_AND_DISK)
+      delta = lInf(state, next) // action: materializes next
+      val secs = (System.nanoTime() - t0) / 1e9
+      metrics += IterationMetrics(iter + 1, edgesPerIter, secs,
+        if (secs > 0) edgesPerIter / secs else 0.0, delta, strategyName)
+      state.unpersist()
+      state = next
+      iter += 1
+      cfg.snapshotDir.foreach { dir =>
+        if (iter % cfg.snapshotEvery == 0 || delta < cfg.tol)
+          snapshot(dir, state, iter, delta)
+      }
+    }
+    LoopResult(state, metrics.toSeq)
+  }
+
+  /** Durable snapshot: state parquet written to a temp dir then the manifest
+    * moved into place atomically (temp + ATOMIC_MOVE) — a crashed writer can
+    * never leave a manifest pointing at a half-written state
+    * (SURVEY.md §7.5.5). */
+  def snapshot(dir: String, state: DataFrame, iteration: Int, delta: Double): Unit = {
+    val statePath = s"$dir/state_$iteration"
+    state.write.mode("overwrite").parquet(statePath)
+    val manifest =
+      s"""{"iteration":$iteration,"delta":$delta,"state_path":"$statePath"}"""
+    val tmp = Paths.get(s"$dir/.manifest.tmp")
+    Files.createDirectories(Paths.get(dir))
+    Files.write(tmp, manifest.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(s"$dir/manifest.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Resume point, if a snapshot exists: (state, nextIteration, lastDelta). */
+  def resume(spark: SparkSession, dir: String): Option[(DataFrame, Int, Double)] = {
+    val mf = Paths.get(s"$dir/manifest.json")
+    if (!Files.exists(mf)) None
+    else {
+      val json = new String(Files.readAllBytes(mf), StandardCharsets.UTF_8)
+      def field(name: String): String =
+        json.split(s""""$name":""")(1).split("[,}]")(0).trim.stripPrefix("\"").stripSuffix("\"")
+      val iter = field("iteration").toInt
+      val delta = field("delta").toDouble
+      val path = field("state_path")
+      Some((spark.read.parquet(path), iter, delta))
+    }
+  }
+}

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Brute-force cosine top-k is the exact baseline (a broadcast of the query
+  * set against a single scan of the corpus — embarrassingly parallel, no
+  * shuffle until the per-query top-k). The scale path is random-hyperplane
+  * LSH: bucket the corpus once (narrow pass), then probe only matching
+  * buckets — candidate set shrinks by ~2^bits per table.
+  */
+object Ann {
+
+  /** Dot product of two double-array columns (codegen'd higher-order fns). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+
+  /** Cosine similarity of two array<double> columns. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact brute-force top-k by cosine: for each row of `queries`
+    * (query_id, embedding), the k corpus rows (vec_id, embedding) with the
+    * highest cosine similarity. Ties broken by vec_id ascending
+    * (deterministic). `queries` is broadcast — corpus scans once. */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      corpusId: String = "vec_id", queryId: String = "query_id"): DataFrame = {
+    val c = corpus.select(col(corpusId).as("vec_id"),
+      asDouble(col("embedding")).as("c_emb"))
+    val q = queries.select(col(queryId).as("query_id"),
+      asDouble(col("embedding")).as("q_emb"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("c_emb"), col("q_emb")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * a signed value derived from xxhash64 — fixed seed, no RNG state. */
+  private def planeComponent(plane: Column, dim: Column): Column =
+    (pmod(xxhash64(concat(lit("hp:"), plane.cast("string"), lit(":"),
+      dim.cast("string"))), lit(2001L)) - 1000L).cast("double") / 1000.0
+
+  /** Random-hyperplane LSH signature: `bits` sign bits packed into a long.
+    * sign(e · h_p) for each hyperplane p. */
+  def hyperplaneSig(emb: Column, bits: Int): Column = {
+    val dims = size(emb)
+    val bitCols = (0 until bits).map { p =>
+      val d = aggregate(
+        zip_with(emb,
+          transform(sequence(lit(0), dims - 1),
+            i => planeComponent(lit(p), i)),
+          (x, h) => x * h),
+        lit(0.0), (acc, v) => acc + v)
+      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed approximate top-k: corpus and queries hashed with `tables`
+    * independent signature functions of `bits` bits; candidates = corpus
+    * rows sharing any (table, signature) bucket with the query; exact cosine
+    * + top-k over candidates only. Recall grows with `tables`, candidate
+    * cost shrinks with `bits`. */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      bits: Int = 12, tables: Int = 4,
+      corpusId: String = "vec_id", queryId: String = "query_id"): DataFrame = {
+    def bucketed(df: DataFrame, idAlias: String, embAlias: String): DataFrame = {
+      val emb = asDouble(col("embedding"))
+      df.select(col(idAlias), emb.as(embAlias),
+          posexplode(array((0 until tables).map(t =>
+            hyperplaneSigOffset(emb, bits, t * bits)): _*)))
+        .withColumnRenamed("pos", "table")
+        .withColumnRenamed("col", "sig")
+    }
+    val c = bucketed(corpus.withColumnRenamed(corpusId, "vec_id"), "vec_id", "c_emb")
+    val q = bucketed(queries.withColumnRenamed(queryId, "query_id"), "query_id", "q_emb")
+    val cands = c.join(q, Seq("table", "sig"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("c_emb"), col("q_emb")).as("cosine"))
+      .groupBy("query_id", "vec_id").agg(first("cosine").as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Signature with plane indices offset by `off` (independent tables). */
+  private def hyperplaneSigOffset(emb: Column, bits: Int, off: Int): Column = {
+    val dims = size(emb)
+    (0 until bits).map { p =>
+      val d = aggregate(
+        zip_with(emb,
+          transform(sequence(lit(0), dims - 1),
+            i => planeComponent(lit(p + off), i)),
+          (x, h) => x * h),
+        lit(0.0), (acc, v) => acc + v)
+      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (dedup by embedding): all pairs
+    * with cosine >= threshold, found via shared LSH buckets (scale path),
+    * verified exactly. */
+  def cosineNearDupPairs(
+      corpus: DataFrame, threshold: Double,
+      bits: Int = 8, tables: Int = 6,
+      idCol: String = "vec_id"): DataFrame = {
+    val emb = asDouble(col("embedding"))
+    val sigs = corpus.select(col(idCol).as("vec_id"), emb.as("e"),
+        posexplode(array((0 until tables).map(t =>
+          hyperplaneSigOffset(emb, bits, t * bits)): _*)))
+      .select(col("vec_id"), col("e"), col("pos").as("table"), col("col").as("sig"))
+    sigs.as("l").join(sigs.as("r"),
+        col("l.table") === col("r.table") && col("l.sig") === col("r.sig") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"),
+        cosine(col("l.e"), col("r.e")).as("cosine"))
+      .groupBy("a", "b").agg(first("cosine").as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for large-scale training-data pipelines:
+  * exact, MinHash+LSH, SimHash, and n-gram Jaccard. All are pure
+  * `functions._` compositions (codegen-friendly, no UDFs) and shuffle only on
+  * content-derived keys — each scales as hash-partitioned group-bys /
+  * bucket joins, never all-pairs.
+  */
+object Dedup {
+
+  /** Lowercased word tokens of a text column. */
+  def tokensCol(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Distinct w-word shingles (default w=3) of a text column. */
+  def shinglesCol(text: Column, w: Int = 3): Column = {
+    val toks = tokensCol(text)
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(toks) - w, lit(0))),
+        i => array_join(slice(toks, i + 1, lit(w)), " ")))
+  }
+
+  /** Exact dedup via content hash: one row per document with its content
+    * group (hash, group size, canonical keeper = min id in group). */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = docs.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("content_hash"))
+    val groups = hashed.groupBy("content_hash")
+      .agg(count(lit(1)).as("group_size"), min("doc_id").as("keep_id"))
+    hashed.join(groups, "content_hash")
+      .select(col("doc_id"), col("content_hash"), col("group_size"),
+        col("keep_id"), (col("doc_id") =!= col("keep_id")).as("is_duplicate"))
+  }
+
+  /** MinHash signatures: k permutations approximated by k seeded xxhash64
+    * functions; signature[i] = min over shingles of hash_i(shingle).
+    * One narrow pass, no shuffle. */
+  def minhashSignatures(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, shingleWidth: Int = 3): DataFrame = {
+    val sh = shinglesCol(col(textCol), shingleWidth)
+    docs.select(
+      col(idCol).as("doc_id"),
+      transform(
+        sequence(lit(0), lit(k - 1)),
+        i => array_min(transform(sh,
+          s => xxhash64(concat(s, lit("#"), i.cast("string"))))))
+        .as("signature"))
+  }
+
+  /** LSH band buckets: the signature split into `bands` bands of k/bands rows
+    * each, one bucket row per (band, band-hash). Docs sharing any bucket are
+    * candidate pairs — the standard banding scheme; bucket join replaces the
+    * quadratic all-pairs comparison. */
+  def lshBuckets(sigs: DataFrame, bands: Int): DataFrame = {
+    val rows = (size(col("signature")) / lit(bands)).cast("int")
+    sigs.select(col("doc_id"), col("signature"),
+        posexplode(
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(concat_ws(",",
+              slice(col("signature"), b * rows + 1, rows))))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+  }
+
+  /** MinHash near-duplicate pairs: LSH candidates verified with the exact
+    * shingle-Jaccard, kept when >= `threshold`. Returns (a, b, jaccard),
+    * a < b, deduplicated. */
+  def minhashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 16, shingleWidth: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, k, shingleWidth)
+    val buckets = lshBuckets(sigs, bands)
+    val cands = buckets.as("l")
+      .join(buckets.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket")
+          && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .distinct()
+    val shingleSets = docs.select(col(idCol).as("doc_id"),
+      shinglesCol(col(textCol), shingleWidth).as("sh"))
+    cands
+      .join(shingleSets.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(shingleSets.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash per document: bit i of the hash is 1 iff the sum over
+    * token hashes of (+1 if bit i set else -1) is positive. Expressed as 64
+    * conditional sums in ONE hash-aggregate (map-side combinable). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokenHashes = docs.select(col(idCol).as("doc_id"),
+        explode(tokensCol(col(textCol))).as("token"))
+      .select(col("doc_id"), xxhash64(col("token")).as("h"))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1))
+        .as(s"b$i")
+    }
+    val agg = tokenHashes.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val hashExpr = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("doc_id"), hashExpr.as("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs: candidates share at least one of four
+    * 16-bit chunks (any pair within Hamming distance 3 must), verified by
+    * exact Hamming distance <= `maxHamming`. */
+  def simhashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs, idCol, textCol)
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(c =>
+          shiftrightunsigned(col("simhash"), c * 16)
+            .bitwiseAND(lit(0xFFFFL))): _*)))
+      .select(col("doc_id"), col("simhash"),
+        col("pos").as("chunk"), col("col").as("chunk_val"))
+    chunks.as("l").join(chunks.as("r"),
+        col("l.chunk") === col("r.chunk") &&
+          col("l.chunk_val") === col("r.chunk_val") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard similarity join via inverted index: explode distinct
+    * shingles, drop shingles with document frequency > `maxDf` (stop-shingle
+    * skew control — a shingle in half the corpus would otherwise create a
+    * quadratic bucket), count shared shingles per pair, compute
+    * |A∩B| / (|A|+|B|-|A∩B|), keep >= threshold. */
+  def jaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int = 3, threshold: Double = 0.5,
+      maxDf: Long = 1000): DataFrame = {
+    val sets = docs.select(col(idCol).as("doc_id"),
+      shinglesCol(col(textCol), shingleWidth).as("sh"))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+    val inv = sets.select(col("doc_id"), col("n"),
+      explode(col("sh")).as("shingle"))
+    val df = inv.groupBy("shingle").agg(count(lit(1)).as("docfreq"))
+    val filtered = inv.join(df.filter(col("docfreq") <= maxDf), "shingle")
+    val shared = filtered.as("l").join(filtered.as("r"),
+        col("l.shingle") === col("r.shingle") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .agg(count(lit(1)).as("shared"),
+        first(col("l.n")).as("na"), first(col("r.n")).as("nb"))
+    shared.select(col("a"), col("b"),
+        (col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

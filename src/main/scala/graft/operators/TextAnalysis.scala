@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * language identification, quality scoring, and document fingerprinting.
+  * All deterministic; everything except the rolling-hash fingerprint is pure
+  * `functions._` (codegen'd, SQL-oracle-checkable).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count (matches `len(regexp_split(trim(text), '\s+'))`
+    * on non-empty text; 0 for blank). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** BPE-ish subword count: word pieces of <= 4 chars — a cheap deterministic
+    * stand-in for a tokenizer's token count (ceil(len/4) per word). */
+  def subwordCount(text: Column): Column =
+    aggregate(
+      filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0),
+      lit(0L),
+      (acc, w) => acc + ceil(length(w) / lit(4.0)).cast("long"))
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "ich"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "en", "que", "por"))
+
+  /** Fraction of tokens that are stopwords of `lang`. */
+  def stopwordRatio(text: Column, lang: String): Column = {
+    val toks = filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+    val sw = array(stopwords(lang).map(lit): _*)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(array_intersect_keep(toks, sw)).cast("double") / size(toks))
+  }
+
+  // array_intersect dedups; for a ratio we want token multiplicity kept.
+  private def array_intersect_keep(toks: Column, sw: Column): Column =
+    filter(toks, t => array_contains(sw, t))
+
+  /** Language identification: per-language stopword hit-rate, argmax, ties ->
+    * "und" (undetermined), as is every text with no hits. N-gram-free
+    * heuristic — deterministic and cheap; a production system would swap in
+    * character-trigram profiles behind the same column contract. */
+  def langId(text: Column): Column = {
+    val scored = stopwords.keys.toSeq.sorted.map { l =>
+      struct(stopwordRatio(text, l).as("score"), lit(l).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Composite quality score in [0,1]: blend of length band, alpha ratio,
+    * punctuation ratio, mean word length band, and stopword presence —
+    * the usual cheap heuristics (C4/Gopher-style) made deterministic. */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val toks = filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+    val nTok = size(toks).cast("double")
+    val alpha = (length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
+      greatest(len, lit(1.0)))
+    val punct = (length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") /
+      greatest(len, lit(1.0)))
+    val meanWord = when(nTok === 0, lit(0.0))
+      .otherwise(aggregate(toks, lit(0L), (a, w) => a + length(w)).cast("double") / nTok)
+    val lenScore = least(len / 200.0, lit(1.0)) // saturate at 200 chars
+    val wordScore = when(meanWord.between(3.0, 10.0), 1.0).otherwise(0.5)
+    val punctScore = when(punct <= 0.1, 1.0)
+      .otherwise(greatest(lit(0.0), lit(1.0) - punct * 5))
+    round(least(greatest(
+      lenScore * 0.3 + alpha * 0.3 + wordScore * 0.2 + punctScore * 0.2,
+      lit(0.0)), lit(1.0)), 6)
+  }
+
+  /** 64-bit polynomial rolling-hash fingerprint of the normalized text
+    * (lowercase, collapsed whitespace): h = Σ c_i · B^(n-1-i) mod 2^64,
+    * B = 1000003. Order-sensitive (unlike MinHash), locality-free —
+    * the classic Rabin-Karp document fingerprint. Implemented as a Horner
+    * fold over characters in `aggregate` (wrap-around multiplication is
+    * intentional, ANSI-safe via explicit unchecked ops in codegen'd
+    * `aggregate` over longs is NOT available — so we fold with xxhash64
+    * chunks instead: hash of 64-char chunks combined positionally). */
+  def fingerprint(text: Column): Column = {
+    val norm = regexp_replace(lower(text), "\\s+", " ")
+    // chunked rolling combine: xxhash64 of (chunk index, chunk bytes),
+    // XOR-folded — deterministic, distributive over fixed chunking.
+    val chunks = transform(
+      sequence(lit(0),
+        greatest(((length(norm) - 1) / lit(64)).cast("int"), lit(0))),
+      i => xxhash64(concat(i.cast("string"), lit("|"),
+        substring(norm, i * 64 + 1, lit(64)))))
+    aggregate(chunks, lit(0L), (acc, h) => acc.bitwiseXOR(h))
+  }
+
+  /** Full per-document text-analysis projection. */
+  def analyze(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      tokenCount(col(textCol)).as("n_tokens"),
+      subwordCount(col(textCol)).as("n_subwords"),
+      langId(col(textCol)).as("lang_pred"),
+      qualityScore(col(textCol)).as("quality"),
+      fingerprint(col(textCol)).as("fingerprint"))
+}

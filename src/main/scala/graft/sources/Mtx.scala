@@ -1,0 +1,76 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MatrixMarket coordinate ingest (reference S1/S2:
+  * `/root/reference/lib/MMIO/mmio_cpp.h:12-53`, normalize at
+  * `/root/reference/src/main.cpp:14-28`).
+  *
+  * Supports `matrix coordinate real|pattern general|symmetric`:
+  *   - 1-based indices shifted to 0-based,
+  *   - `pattern` entries get weight 1.0 (`mmio_cpp.h:37-38`),
+  *   - `symmetric` emits both (i,j) and (j,i) for off-diagonal entries
+  *     (`mmio_cpp.h:40-48`).
+  *
+  * The header needs file-order semantics, so it is parsed driver-side; the
+  * entry body is transformed distributed (split/cast/conditional explode in
+  * DataFrame ops). MatrixMarket is a small-fixture format — the production
+  * source at 10^12 scale is the parquet page table (Extract + VertexDict).
+  */
+object Mtx {
+
+  final case class Header(rows: Long, cols: Long, nnz: Long,
+      pattern: Boolean, symmetric: Boolean)
+
+  def parseHeader(lines: Seq[String]): Header = {
+    val banner = lines.headOption.getOrElse("")
+    require(banner.startsWith("%%MatrixMarket matrix coordinate"),
+      s"unsupported MatrixMarket banner: $banner")
+    val toks = banner.toLowerCase.split("\\s+")
+    val pattern = toks.contains("pattern")
+    require(pattern || toks.contains("real"),
+      s"only real/pattern supported: $banner")
+    val symmetric = toks.contains("symmetric")
+    require(symmetric || toks.contains("general"),
+      s"only general/symmetric supported: $banner")
+    val size = lines.find(l => !l.startsWith("%") && l.trim.nonEmpty)
+      .getOrElse(sys.error("missing size line"))
+    val Array(m, n, nnz) = size.trim.split("\\s+").map(_.toLong)
+    require(m == n, s"square matrices only (reference asserts the same " +
+      s"at /root/reference/src/main.cpp:94): ${m}x$n")
+    Header(m, n, nnz, pattern, symmetric)
+  }
+
+  /** Parse mtx content given as lines; returns (header, edges(src,dst,w)). */
+  def fromLines(spark: SparkSession, lines: Seq[String]): (Header, DataFrame) = {
+    val h = parseHeader(lines)
+    val body = lines.drop(1).filter(l => !l.startsWith("%") && l.trim.nonEmpty)
+      .drop(1) // size line
+    import spark.implicits._
+    val raw = spark.createDataset(body).toDF("line")
+      .select(split(trim(col("line")), "\\s+").as("t"))
+      .select(
+        (element_at(col("t"), 1).cast("long") - 1).as("src"),
+        (element_at(col("t"), 2).cast("long") - 1).as("dst"),
+        (if (h.pattern) lit(1.0)
+         else element_at(col("t"), 3).cast("double")).as("w"))
+    val expanded =
+      if (!h.symmetric) raw
+      else raw.select(explode(when(col("src") === col("dst"),
+          array(struct(col("src"), col("dst"), col("w"))))
+        .otherwise(array(
+          struct(col("src"), col("dst"), col("w")),
+          struct(col("dst").as("src"), col("src").as("dst"), col("w")))))
+        .as("e"))
+        .select(col("e.src"), col("e.dst"), col("e.w"))
+    (h, expanded)
+  }
+
+  /** Read a .mtx file from the local filesystem. */
+  def read(spark: SparkSession, path: String): (Header, DataFrame) = {
+    val lines = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))).asScala.toSeq
+    fromLines(spark, lines)
+  }
+}
