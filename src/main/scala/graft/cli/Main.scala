@@ -30,7 +30,8 @@ object Main {
     val b = SparkSession.builder().appName(appName)
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
     val s = (if (sys.env.contains("SPARK_GRAFT_MASTER"))
       b.master(sys.env("SPARK_GRAFT_MASTER"))
@@ -38,6 +39,7 @@ object Main {
       b.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
     else b).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.bench.StageLog.attach(s)
     s
   }
 
@@ -52,8 +54,12 @@ object Main {
         (e, n)
       case None =>
         val n = arg(args, "n").map(_.toLong).getOrElse(1L << 14)
-        val l = arg(args, "l").map(_.toInt).getOrElse(16)
-        (Synth.band(spark, n, l), n)
+        arg(args, "blocks") match {
+          case Some(b) => (Synth.blocks(spark, n, b.toLong), n)
+          case None =>
+            val l = arg(args, "l").map(_.toInt).getOrElse(16)
+            (Synth.band(spark, n, l), n)
+        }
     }
 
   def main(args: Array[String]): Unit = {
@@ -72,11 +78,26 @@ object Main {
     spark.stop()
   }
 
-  private def report(name: String, metrics: Seq[graft.model.IterationMetrics]): Unit =
+  /** Metrics sink (reference O1-O4, CSV rows at
+    * `/root/reference/src/main.cpp:96-108`): per-iteration JSON lines to
+    * stdout and optionally to a file via --metrics-out. */
+  private def report(name: String, metrics: Seq[graft.model.IterationMetrics],
+      metricsOut: Option[String] = None): Unit = {
     metrics.foreach { m =>
       println(f"$name iter=${m.iteration}%3d delta=${m.delta}%.3e " +
         f"secs=${m.seconds}%.3f edges_per_sec=${m.edgesPerSec}%.3e [${m.strategy}]")
     }
+    metricsOut.foreach { path =>
+      val lines = metrics.map { m =>
+        val d = if (m.delta.isNaN) "null" else m.delta.toString
+        s"""{"algo":"$name","iteration":${m.iteration},"edges":${m.edges},""" +
+          s""""seconds":${m.seconds},"edges_per_sec":${m.edgesPerSec},""" +
+          s""""delta":$d,"strategy":"${m.strategy}"}"""
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    }
+  }
 
   def single(spark: SparkSession, args: Array[String]): Unit = {
     val (edges, n) = loadEdges(spark, args)
@@ -85,19 +106,20 @@ object Main {
       maxIter = arg(args, "max-iter").map(_.toInt).getOrElse(100),
       snapshotDir = arg(args, "snapshot-dir"))
     val out = arg(args, "out")
+    val metricsOut = arg(args, "metrics-out")
     val algo = arg(args, "algo").getOrElse("pagerank")
     val result: DataFrame = algo match {
       case "spmv" =>
         SpMV(edges, Synth.state(spark, n), Some(spark.range(n).toDF("id")))
       case "pagerank" =>
         val r = PageRank.run(spark, edges, n, cfg = cfg)
-        report("pagerank", r.metrics); r.state
+        report("pagerank", r.metrics, metricsOut); r.state
       case "cc" =>
         val r = ConnectedComponents.run(spark, edges, n, cfg)
-        report("cc", r.metrics); r.labels
+        report("cc", r.metrics, metricsOut); r.labels
       case "lp" =>
         val r = LabelPropagation.run(spark, edges, n, cfg.maxIter)
-        report("lp", r.metrics); r.labels
+        report("lp", r.metrics, metricsOut); r.labels
       case "triangles" =>
         val c = TriangleCount.countTriangles(spark, edges)
         println(s"triangles total=$c")

@@ -18,12 +18,18 @@ import org.apache.spark.sql.functions._
   */
 sealed trait GatherStrategy
 object GatherStrategy {
-  /** Shuffle (sort-merge/hash) join of state with edges on the lookup key. */
+  /** Shuffle the O(V) state to the edge partitioning for the join; the O(E)
+    * contribution aggregate then shuffles to its key. Required when the
+    * state is too large to broadcast (10^9+ vertices: a broadcast would OOM
+    * the driver). */
   case object ShuffleJoin extends GatherStrategy
-  /** Broadcast the state to every executor; edges never move. */
+  /** Force-broadcast the state to every executor: with the edges
+    * pre-partitioned on the AGGREGATION key, an entire iteration runs
+    * shuffle-free (the reference's K6 broadcast-gather kernel). */
   case object BroadcastState extends GatherStrategy
-  /** Size-based choice per run. */
-  final case class Auto(maxBroadcastVertices: Long = 50L * 1000 * 1000)
+  /** Size-based choice per run: broadcast while the state ships cheaply
+    * (~16 B/vertex/iteration to every executor), shuffle beyond. */
+  final case class Auto(maxBroadcastVertices: Long = 4L * 1000 * 1000)
       extends GatherStrategy
 
   def resolve(s: GatherStrategy, vertexCount: Long): GatherStrategy = s match {

@@ -71,10 +71,18 @@ object Iterate {
       val next =
         if ((iter + 1) % cfg.checkpointEvery == 0) stepped.localCheckpoint(true)
         else stepped.persist(StorageLevel.MEMORY_AND_DISK)
-      delta = lInf(state, next) // action: materializes next
+      // fixed-iteration mode (tol <= 0) never stops on delta: skip the
+      // O(V) convergence join — one fewer job per iteration.
+      delta =
+        if (cfg.tol <= 0.0) { // localCheckpoint(true) already materialized
+          if ((iter + 1) % cfg.checkpointEvery != 0) next.count()
+          Double.MaxValue
+        } else lInf(state, next) // action: materializes next
       val secs = (System.nanoTime() - t0) / 1e9
       metrics += IterationMetrics(iter + 1, edgesPerIter, secs,
-        if (secs > 0) edgesPerIter / secs else 0.0, delta, strategyName)
+        if (secs > 0) edgesPerIter / secs else 0.0,
+        if (cfg.tol <= 0.0) Double.NaN else delta, // NaN = not measured
+        strategyName)
       state.unpersist()
       state = next
       iter += 1

@@ -124,6 +124,7 @@ object Ann {
         posexplode(array((0 until tables).map(t =>
           hyperplaneSigOffset(emb, bits, t * bits)): _*)))
       .select(col("vec_id"), col("e"), col("pos").as("table"), col("col").as("sig"))
+      .persist() // self-joined below: avoid recomputing hyperplane sigs per side
     sigs.as("l").join(sigs.as("r"),
         col("l.table") === col("r.table") && col("l.sig") === col("r.sig") &&
           col("l.vec_id") < col("r.vec_id"))

@@ -139,6 +139,18 @@ class GraphAlgoSpec extends SparkSuite {
     }
   }
 
+  test("broadcast-array PageRank kernel == DataFrame PageRank (same trajectory)") {
+    val n = 300; val edges = Synth.blocks(spark, n, 50) // includes dangling
+    val df = PageRank.run(spark, edges, n, cfg = IterConfig(tol = 0.0, maxIter = 7))
+      .state.orderBy("id").as[(Long, Double)].collect()
+    val arr = graft.algo.PageRankArray.run(spark, edges, n,
+      cfg = IterConfig(tol = 0.0, maxIter = 7))
+      .state.orderBy("id").as[(Long, Double)].collect()
+    df.zip(arr).foreach { case ((i1, x1), (i2, x2)) =>
+      assert(i1 == i2 && math.abs(x1 - x2) < 1e-12, s"vertex $i1")
+    }
+  }
+
   test("salted sum == plain sum on skew graph (identical results, SURVEY §4.2.3)") {
     val edges = Synth.skew(spark, 300L)
     val plain = edges.groupBy("dst").agg(sum("w").as("sum"))
