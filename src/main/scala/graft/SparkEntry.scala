@@ -95,6 +95,10 @@ object SparkEntry {
     "graph_band_edges" -> ((s, _) =>
       Synth.band(s, BAND_N, BAND_L).orderBy("src", "dst")),
 
+    // --- S3: density-parameterized generator (deterministic analog) ---
+    "graph_random_edges" -> ((s, _) =>
+      Synth.randomDensity(s, 1024, 0.01).orderBy("src", "dst")),
+
     // --- C2: transpose ---
     "graph_transpose" -> ((s, _) =>
       AdjacencyBuilder.transpose(Synth.band(s, BAND_N, BAND_L))
@@ -345,6 +349,13 @@ object SparkEntry {
 
     "graph_transpose" ->
       s"WITH ${sqlBand(BAND_N, BAND_L)} SELECT dst AS src, src AS dst, w FROM edges ORDER BY src, dst",
+
+    "graph_random_edges" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT (k*2654435761) % 1024 AS src, (k*40503 + 7) % 1024 AS dst
+        |  FROM range(0, 10485) t(k))
+        |SELECT src, dst, (((src*31 + dst*17) % 1000) + 1) / 1000.0 AS w
+        |FROM pairs ORDER BY src, dst""".stripMargin,
 
     "graph_adjacency" ->
       s"""WITH ${sqlBand(BAND_N, BAND_L)}

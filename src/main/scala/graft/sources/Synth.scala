@@ -81,6 +81,21 @@ object Synth {
       .select(col("src"), col("dst"), wCol(col("src"), col("dst")).as("w"))
   }
 
+  /** Density-parameterized random-ish graph (reference S3,
+    * `/root/reference/include/graphCOO.hpp:39-73`: ⌊ρ·V²⌋ uniform edges,
+    * dedup'd). The reference draws from a nondeterministic random_device; we
+    * use multiplicative hashing of the edge index k — deterministic, DuckDB-
+    * reproducible, and uniform enough for layout purposes:
+    *   src(k) = (k·2654435761) % n,  dst(k) = (k·40503 + 7) % n. */
+  def randomDensity(spark: SparkSession, n: Long, rho: Double): DataFrame = {
+    val m = math.max(1L, (rho * n * n).toLong)
+    spark.range(m).toDF("k")
+      .select(((col("k") * 2654435761L) % n).as("src"),
+        ((col("k") * 40503L + 7L) % n).as("dst"))
+      .dropDuplicates("src", "dst")
+      .select(col("src"), col("dst"), wCol(col("src"), col("dst")).as("w"))
+  }
+
   /** url of page i — keep in sync with oracle SQL. */
   def urlCol(id: org.apache.spark.sql.Column) =
     format_string("https://example.org/page/%08d", id)
