@@ -21,13 +21,17 @@ object Scaling {
 
   def run(cores: Int, n: Long, l: Int, iters: Int,
       strategy: GatherStrategy): (Double, Double) = {
+    // SPARK_GRAFT_MASTER overrides (e.g. "local-cluster[4,8,8192]": separate
+    // executor JVMs — the truest N-vs-4N-executor analog on one box). Ship
+    // the app jar via SPARK_GRAFT_JARS (sbt package output) in that mode.
     val b = SparkSession.builder()
-      .master(s"local[$cores]")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cores]"))
       .appName(s"graft-scaling-$cores")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    sys.env.get("SPARK_GRAFT_JARS").foreach(b.config("spark.jars", _))
     // ad-hoc conf overrides: SPARK_GRAFT_CONF="k=v;k2=v2"
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
       .foreach { kv =>
