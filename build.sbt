@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to this process's stdout/stderr (no sbt
+// "[info]/[error]" log prefixes) so the one-line bench/verify JSON on stdout
+// stays machine-parseable by the driver.
+run / connectInput := true
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -88,6 +88,53 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Unrolled synchronous label-propagation SQL over the blocks graph —
+    * mirrors LabelPropagation.run exactly: per iteration, each vertex adopts
+    * the most frequent neighbor label over the SYMMETRIZED link set, ties
+    * broken by the smallest label. Extra SQL iterations after the Spark
+    * loop's no-change early stop are no-ops, so a fixed unroll is safe. */
+  private def sqlLabelProp(n: Long, b: Long, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH chain AS (
+      |  SELECT i AS src, i + 1 AS dst FROM range(0, ${n - 1}) t(i)
+      |  WHERE (i + 1) % $b <> 0),
+      |links AS (SELECT src, dst FROM chain
+      |          UNION ALL SELECT dst AS src, src AS dst FROM chain),
+      |v AS (SELECT i AS id FROM range(0, $n) t(i)),
+      |x0 AS (SELECT id, id AS label FROM v)""".stripMargin)
+    for (k <- 1 to iters) {
+      sb.append(s""",
+        |h$k AS (SELECT l.src, x.label AS nl, count(*) AS c
+        |        FROM links l JOIN x${k - 1} x ON l.dst = x.id GROUP BY 1, 2),
+        |w$k AS (SELECT src AS id, nl AS label FROM (
+        |          SELECT src, nl, row_number() OVER (
+        |            PARTITION BY src ORDER BY c DESC, nl ASC) AS rn FROM h$k)
+        |        WHERE rn = 1),
+        |x$k AS (SELECT p.id, coalesce(w.label, p.label) AS label
+        |        FROM x${k - 1} p LEFT JOIN w$k w USING (id))""".stripMargin)
+    }
+    sb.append(s"\nSELECT id, label FROM x$iters ORDER BY id")
+    sb.toString
+  }
+
+  /** Shared CTE prefix replicating Ann's hyperplane-LSH signatures in SQL:
+    * same closed-form plane hash (Ann.planeComponent), same sign-bit packing,
+    * same corpus-size-derived bits (Ann.bitsFor) — the oracle reproduces the
+    * BUCKETING exactly, so LSH misses match too. */
+  private def sqlLshSigs(tables: Int): String =
+    s"""p AS (SELECT CAST(least(24, greatest(4, ceil(log2(
+       |  CAST((SELECT count(*) FROM embeddings) AS DOUBLE) / 64)))) AS BIGINT) AS bits),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |sigs AS (
+       |  SELECT vec_id, emb, tt.t AS tbl,
+       |    list_aggregate(list_transform(range(0, p.bits), q ->
+       |      CASE WHEN list_aggregate(list_transform(range(1, len(emb) + 1), i ->
+       |             emb[i] * (((((q + tt.t * p.bits) * 1009 + (i - 1) * 9176 + 917)
+       |               * 2654435761) % 2001 + 2001) % 2001 - 1000) / 1000.0),
+       |           'sum') >= 0
+       |      THEN (CAST(1 AS BIGINT) << q) ELSE 0 END), 'sum') AS sig
+       |  FROM e CROSS JOIN p CROSS JOIN (SELECT unnest(range(0, $tables)) AS t) tt)""".stripMargin
+
   // =========================== queries ===========================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -104,11 +151,17 @@ object SparkEntry {
       AdjacencyBuilder.transpose(Synth.band(s, BAND_N, BAND_L))
         .orderBy("src", "dst")),
 
-    // --- C1: COO->CSR adjacency build (grouped, dst-sorted arrays) ---
+    // --- C1: COO->CSR adjacency build (grouped, dst-sorted arrays).
+    // Arrays serialized to CSV strings on BOTH sides: the driver's pandas
+    // compare cannot hash ndarray cells. Weights are 3-decimal by
+    // construction, so round(w*1000) is an exact integer — no float
+    // formatting hazard in the string. ---
     "graph_adjacency" -> ((s, _) =>
       AdjacencyBuilder.outAdjacency(Synth.band(s, BAND_N, BAND_L))
-        .select(col("src"), col("dsts"),
-          transform(col("ws"), w => round(w, 9)).as("ws"))
+        .select(col("src"),
+          array_join(col("dsts"), ",").as("dsts"),
+          array_join(transform(col("ws"),
+            w => round(w * 1000).cast("long").cast("string")), ",").as("ws"))
         .orderBy("src")),
 
     // --- A5/A6: degree and skew statistics ---
@@ -166,6 +219,11 @@ object SparkEntry {
       val n = TriangleCount.countTriangles(s, Synth.band(s, TRI_N, TRI_L))
       s.createDataFrame(Seq(Tuple1(n))).toDF("n_triangles")
     }),
+
+    // --- per-vertex triangle participation (each corner credited once) ---
+    "triangles_per_vertex" -> ((s, _) =>
+      TriangleCount.perVertex(s, Synth.band(s, TRI_N, TRI_L))
+        .orderBy("id")),
 
     // --- K11 analog: salted two-phase aggregation == plain aggregation ---
     "skew_salted_sum" -> ((s, _) =>
@@ -234,22 +292,26 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // --- similarity search: LSH-bucketed approximate top-k (scale path) ---
+    // --- similarity search: LSH-bucketed approximate top-k (scale path).
+    // bits derived from corpus size (Ann.bitsFor): a fixed bits is a
+    // bucket-cardinality scale hazard — see Ann.scala. ---
     "ann_lsh_topk" -> ((s, sf) => {
       val emb = s.read.parquet(t(sf, "embeddings"))
       val queries = emb.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      Ann.lshTopK(emb, queries, 5, bits = 8, tables = 4)
+      Ann.lshTopK(emb, queries, 5, bits = Ann.bitsFor(emb.count()), tables = 8)
         .select(col("query_id"), col("vec_id"), col("rank"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy("query_id", "rank")
     }),
 
-    // --- dedup: embedding-cosine near-dup pairs ---
-    "dedup_cosine" -> ((s, sf) =>
-      Ann.cosineNearDupPairs(s.read.parquet(t(sf, "embeddings")), 0.45)
+    // --- dedup: embedding-cosine near-dup pairs (corpus-sized bits) ---
+    "dedup_cosine" -> ((s, sf) => {
+      val emb = s.read.parquet(t(sf, "embeddings"))
+      Ann.cosineNearDupPairs(emb, 0.45, bits = Ann.bitsFor(emb.count()))
         .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
-        .orderBy("a", "b")),
+        .orderBy("a", "b")
+    }),
 
     // --- text analysis: token counts (SQL-expressible) ---
     "text_token_count" -> ((s, sf) =>
@@ -269,9 +331,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // --- text analysis: language id + quality + fingerprint (engine-defined) ---
+    // --- text analysis: language id + quality (SQL-expressible; the
+    // xxhash64 fingerprint is split into its own rows-only query) ---
     "text_analyze" -> ((s, sf) =>
       TextAnalysis.analyze(s.read.parquet(t(sf, "documents")), "doc_id", "text")
+        .drop("fingerprint")
+        .orderBy("doc_id")),
+
+    // --- text analysis: rolling-hash document fingerprint (xxhash64-based —
+    // genuinely un-oracleable in ANSI SQL; covered by ScalaTest invariants) ---
+    "text_fingerprint" -> ((s, sf) =>
+      TextAnalysis.analyze(s.read.parquet(t(sf, "documents")), "doc_id", "text")
+        .select("doc_id", "fingerprint")
         .orderBy("doc_id")),
 
     // --- relational coverage over the provided star schema ---
@@ -359,8 +430,9 @@ object SparkEntry {
 
     "graph_adjacency" ->
       s"""WITH ${sqlBand(BAND_N, BAND_L)}
-         |SELECT src, list(dst ORDER BY dst) AS dsts,
-         |       list(round(w, 9) ORDER BY dst) AS ws
+         |SELECT src,
+         |       array_to_string(list(dst ORDER BY dst), ',') AS dsts,
+         |       array_to_string(list(CAST(round(w * 1000) AS BIGINT) ORDER BY dst), ',') AS ws
          |FROM edges GROUP BY src ORDER BY src""".stripMargin,
 
     "graph_degrees" ->
@@ -371,7 +443,7 @@ object SparkEntry {
     "graph_skew_stats" ->
       s"""WITH ${sqlSkew(SKEW_N)},
          |deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY src)
-         |SELECT count(*) AS vertices, sum(degree) AS edges,
+         |SELECT count(*) AS vertices, CAST(sum(degree) AS BIGINT) AS edges,
          |       max(degree) AS max_degree, round(avg(degree), 6) AS avg_degree,
          |       round(quantile_cont(degree, 0.5), 6) AS p50_degree,
          |       round(quantile_cont(degree, 0.99), 6) AS p99_degree
@@ -402,6 +474,8 @@ object SparkEntry {
     "cc_blocks" ->
       s"SELECT i AS id, (i // $CC_B) * $CC_B AS label FROM range(0, $CC_N) t(i) ORDER BY id",
 
+    "lp_blocks" -> sqlLabelProp(CC_N, CC_B, 5),
+
     "triangles_band" ->
       s"""WITH ${sqlBand(TRI_N, TRI_L)},
          |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
@@ -409,6 +483,17 @@ object SparkEntry {
          |SELECT count(*) AS n_triangles
          |FROM und e1 JOIN und e2 ON e1.b = e2.a
          |     JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+
+    "triangles_per_vertex" ->
+      s"""WITH ${sqlBand(TRI_N, TRI_L)},
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM edges WHERE src <> dst),
+         |tris AS (SELECT e1.a, e1.b, e2.b AS c
+         |         FROM und e1 JOIN und e2 ON e1.b = e2.a
+         |              JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+         |SELECT id, count(*) AS triangles
+         |FROM (SELECT unnest([a, b, c]) AS id FROM tris)
+         |GROUP BY id ORDER BY id""".stripMargin,
 
     "skew_salted_sum" ->
       s"""WITH ${sqlSkew(SKEW_N)}
@@ -444,6 +529,37 @@ object SparkEntry {
         |       h.doc_id <> g.keep_id AS is_duplicate
         |FROM h JOIN g USING (content_hash) ORDER BY doc_id""".stripMargin,
 
+    // Exact brute-force pair jaccard (w=2 shingles) — mirrors
+    // Dedup.jaccardPairs exactly at fixture scale (docfreq never exceeds the
+    // maxDf=1000 stop-shingle cap with <=1000 docs, so the cap is a no-op).
+    "dedup_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                     t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |shl AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(tk) = 0 THEN []::VARCHAR[] ELSE
+        |           list_distinct(list_transform(
+        |             range(1, greatest(len(tk) - 1, 1) + 1),
+        |             i -> CASE WHEN i + 1 <= len(tk)
+        |                       THEN tk[i] || ' ' || tk[i + 1]
+        |                       ELSE tk[i] END))
+        |         END AS sh
+        |  FROM toks),
+        |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM shl),
+        |shared AS (
+        |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS shared,
+        |         any_value(l.n) AS na, any_value(r.n) AS nb
+        |  FROM ex l JOIN ex r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b,
+        |       round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
+        |FROM shared
+        |WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.3
+        |ORDER BY a, b""".stripMargin,
+
     "ann_brute_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
         |           WHERE vec_id % 100 = 0),
@@ -459,6 +575,60 @@ object SparkEntry {
         |SELECT query_id, vec_id, rank, round(cosine, 6) AS cosine
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    "ann_lsh_topk" ->
+      s"""WITH ${sqlLshSigs(8)},
+         |q AS (SELECT vec_id AS query_id, emb AS qemb, tbl, sig
+         |      FROM sigs WHERE vec_id % 100 = 0),
+         |cand AS (SELECT DISTINCT q.query_id, c.vec_id, c.emb, q.qemb
+         |         FROM sigs c JOIN q ON c.tbl = q.tbl AND c.sig = q.sig),
+         |scored AS (SELECT query_id, vec_id,
+         |             list_cosine_similarity(emb, qemb) AS cosine FROM cand),
+         |ranked AS (SELECT query_id, vec_id, cosine,
+         |             row_number() OVER (PARTITION BY query_id
+         |               ORDER BY cosine DESC, vec_id) AS rank FROM scored)
+         |SELECT query_id, vec_id, rank, round(cosine, 6) AS cosine
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "dedup_cosine" ->
+      s"""WITH ${sqlLshSigs(6)},
+         |pairs AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b,
+         |            l.emb AS ea, r.emb AS eb
+         |          FROM sigs l JOIN sigs r
+         |          ON l.tbl = r.tbl AND l.sig = r.sig AND l.vec_id < r.vec_id)
+         |SELECT a, b, round(list_cosine_similarity(ea, eb), 6) AS cosine
+         |FROM pairs WHERE list_cosine_similarity(ea, eb) >= 0.45
+         |ORDER BY a, b""".stripMargin,
+
+    "dedup_minhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                     t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |shl AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(tk) = 0 THEN []::VARCHAR[] ELSE
+        |           list_distinct(list_transform(
+        |             range(1, greatest(len(tk) - 2, 1) + 1),
+        |             i -> CASE WHEN i + 2 <= len(tk)
+        |                       THEN tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]
+        |                       WHEN i + 1 <= len(tk)
+        |                       THEN tk[i] || ' ' || tk[i + 1]
+        |                       ELSE tk[i] END))
+        |         END AS sh
+        |  FROM toks),
+        |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle FROM shl),
+        |shared AS (
+        |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS shared,
+        |         any_value(l.n) AS na, any_value(r.n) AS nb
+        |  FROM ex l JOIN ex r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b,
+        |       round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
+        |FROM shared
+        |WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
+        |ORDER BY a, b""".stripMargin,
+
     "text_token_count" ->
       """SELECT doc_id,
         |  CASE WHEN length(trim(text)) = 0 THEN 0
@@ -472,6 +642,52 @@ object SparkEntry {
         |  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1.0), 6) AS alpha_ratio,
         |  round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / greatest(length(text), 1.0), 6) AS punct_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Mirrors TextAnalysis.analyze (minus the xxhash64 fingerprint): same
+    // stopword lists, same argmax tie-break (max score, tie -> max lang
+    // string — hence the fr/es/en/de check order), same quality formula and
+    // evaluation order.
+    "text_analyze" ->
+      """WITH t1 AS (
+        |  SELECT doc_id, text,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                     t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |t2 AS (
+        |  SELECT doc_id, text, tk,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |    CAST(coalesce(list_aggregate(list_transform(tk,
+        |      w -> CAST(ceil(len(w) / 4.0) AS BIGINT)), 'sum'), 0) AS BIGINT) AS n_subwords,
+        |    CASE WHEN len(tk) = 0 THEN 0.0 ELSE CAST(len(list_filter(tk, t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) AS DOUBLE) / len(tk) END AS r_en,
+        |    CASE WHEN len(tk) = 0 THEN 0.0 ELSE CAST(len(list_filter(tk, t -> list_contains(['der','die','das','und','ist','nicht','ein','mit','zu','ich'], t))) AS DOUBLE) / len(tk) END AS r_de,
+        |    CASE WHEN len(tk) = 0 THEN 0.0 ELSE CAST(len(list_filter(tk, t -> list_contains(['le','la','les','et','est','un','une','dans','que','pour'], t))) AS DOUBLE) / len(tk) END AS r_fr,
+        |    CASE WHEN len(tk) = 0 THEN 0.0 ELSE CAST(len(list_filter(tk, t -> list_contains(['el','la','los','y','es','un','una','en','que','por'], t))) AS DOUBLE) / len(tk) END AS r_es
+        |  FROM t1),
+        |t3 AS (
+        |  SELECT doc_id, n_tokens, n_subwords, r_en, r_de, r_fr, r_es,
+        |    greatest(r_en, r_de, r_fr, r_es) AS best,
+        |    CAST(length(text) AS DOUBLE) AS tlen,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS alpha,
+        |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct,
+        |    CASE WHEN len(tk) = 0 THEN 0.0
+        |         ELSE CAST(list_aggregate(list_transform(tk, w -> len(w)), 'sum') AS DOUBLE) / len(tk)
+        |    END AS mean_word
+        |  FROM t2)
+        |SELECT doc_id, n_tokens, n_subwords,
+        |  CASE WHEN best > 0 THEN
+        |    (CASE WHEN r_fr = best THEN 'fr' WHEN r_es = best THEN 'es'
+        |          WHEN r_en = best THEN 'en' ELSE 'de' END)
+        |  ELSE 'und' END AS lang_pred,
+        |  round(least(greatest(
+        |    least(tlen / 200.0, 1.0) * 0.3 + alpha * 0.3
+        |    + (CASE WHEN mean_word BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+        |    + (CASE WHEN punct <= 0.1 THEN 1.0
+        |            ELSE greatest(0.0, 1.0 - punct * 5) END) * 0.2,
+        |    0.0), 1.0), 6) AS quality
+        |FROM t3 ORDER BY doc_id""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -33,10 +33,15 @@ object ConnectedComponents {
       edges: DataFrame,
       nVertices: Long,
       cfg: IterConfig = IterConfig(tol = 0.5, maxIter = 200)): Result = {
-    // persisted once; the per-round join re-uses the cached relation and the
-    // planner plans the state exchange around it (an explicit pre-repartition
-    // just adds an exchange the join would re-do anyway)
+    // one-time build, pinned on the per-round join key: ONLY an explicit
+    // repartition(n, col) survives as a cached partitioning guarantee
+    // (groupBy/join-derived exchanges get AQE-coalesced and every round
+    // silently re-shuffles all O(E) links — the measured PageRank finding,
+    // PageRank.scala:61-64; at web scale that is the difference between an
+    // O(V) and an O(E) per-round shuffle).
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val links = AdjacencyBuilder.symmetrize(edges)
+      .repartition(nParts, col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nLinks = links.count()
 

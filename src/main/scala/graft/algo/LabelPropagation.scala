@@ -28,7 +28,11 @@ object LabelPropagation {
       edges: DataFrame,
       nVertices: Long,
       maxIter: Int = 20): Result = {
+    // pinned on the per-round join key (see ConnectedComponents.run: only an
+    // explicit repartition survives as a cached partitioning guarantee)
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val links = AdjacencyBuilder.symmetrize(edges)
+      .repartition(nParts, col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nLinks = links.count()
 

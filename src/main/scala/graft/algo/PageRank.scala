@@ -62,8 +62,13 @@ object PageRank {
     // AQE coalesces those exchanges, the cached relation loses its
     // partitioning guarantee, and every iteration re-shuffles all edges
     // (measured: 243 MB/iter edge re-shuffle before this fix).
+    // wtot <= 0 (all-zero or sign-cancelling weights) would make p NaN/Inf
+    // and poison every score through the gather sums: such vertices keep no
+    // out-edges and fall into the dangling set instead (computed from
+    // normBase below), which is the probabilistically correct reading.
     val outW = edges.groupBy("src").agg(
       (if (weighted) sum("w") else count(lit(1)).cast("double")).as("wtot"))
+      .filter(col("wtot") > 0)
     val normBase = edges.join(outW, "src")
       .select(col("src"), col("dst"),
         ((if (weighted) col("w") else lit(1.0)) / col("wtot")).as("p"))

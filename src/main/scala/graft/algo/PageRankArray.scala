@@ -44,8 +44,11 @@ object PageRankArray {
 
     // one-time CSR build (in-neighbor orientation), cached DESERIALIZED:
     // iterations touch primitive arrays directly, no columnar decode.
+    // wtot <= 0 -> dangling (same guard as PageRank.run: NaN/Inf p would
+    // silently poison the whole state through the gather sums)
     val outW = edges.groupBy("src").agg(
       (if (weighted) sum("w") else count(lit(1)).cast("double")).as("wtot"))
+      .filter(col("wtot") > 0)
     val normBase = edges.join(outW, "src")
       .select(col("src"), col("dst"),
         ((if (weighted) col("w") else lit(1.0)) / col("wtot")).as("p"))

@@ -67,7 +67,9 @@ object TriangleCount {
     val out = tris
       .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("triangles"))
-    out.persist().count()
+      // materialize at a checkpoint boundary BEFORE dropping the oriented
+      // cache; no persist left behind for the caller to leak
+      .localCheckpoint(true)
     o.unpersist()
     out
   }

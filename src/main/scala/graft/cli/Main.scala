@@ -50,8 +50,13 @@ object Main {
         (e, h.rows)
       case Some(p) =>
         val e = spark.read.parquet(p)
-        val n = e.agg(greatest(max("src"), max("dst"))).head().getLong(0) + 1
-        (e, n)
+        // cast: int-typed src/dst parquet would ClassCastException on getLong;
+        // null: an empty edge table aggregates to NULL — fail with a message.
+        val row = e.agg(greatest(max(col("src").cast("long")),
+          max(col("dst").cast("long")))).head()
+        if (row.isNullAt(0)) sys.error(s"--input $p: edge table is empty")
+        (e.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"), col("w")), row.getLong(0) + 1)
       case None =>
         val n = arg(args, "n").map(_.toLong).getOrElse(1L << 14)
         arg(args, "blocks") match {

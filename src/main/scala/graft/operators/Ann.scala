@@ -48,25 +48,24 @@ object Ann {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * a signed value derived from xxhash64 — fixed seed, no RNG state. */
+    * a signed value in [-1, 1] from a closed-form multiplicative hash —
+    * fixed seed, no RNG state, and (unlike xxhash64) reproducible in plain
+    * SQL, so the LSH operators get end-to-end DuckDB oracles that replicate
+    * the bucketing exactly (same move as Synth's closed-form generators).
+    * Keep in sync with the oracle SQL in SparkEntry. */
   private def planeComponent(plane: Column, dim: Column): Column =
-    (pmod(xxhash64(concat(lit("hp:"), plane.cast("string"), lit(":"),
-      dim.cast("string"))), lit(2001L)) - 1000L).cast("double") / 1000.0
+    (pmod((plane * lit(1009L) + dim * lit(9176L) + lit(917L)) * lit(2654435761L),
+      lit(2001L)) - 1000L).cast("double") / 1000.0
 
-  /** Random-hyperplane LSH signature: `bits` sign bits packed into a long.
-    * sign(e · h_p) for each hyperplane p. */
-  def hyperplaneSig(emb: Column, bits: Int): Column = {
-    val dims = size(emb)
-    val bitCols = (0 until bits).map { p =>
-      val d = aggregate(
-        zip_with(emb,
-          transform(sequence(lit(0), dims - 1),
-            i => planeComponent(lit(p), i)),
-          (x, h) => x * h),
-        lit(0.0), (acc, v) => acc + v)
-      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bitCols.reduce((a, b) => a.bitwiseOR(b))
+  /** Bucket-count sizing: bits so that an N-row corpus lands ~`targetBucket`
+    * rows per bucket (bits = log2(N / targetBucket), clamped to [4, 24]).
+    * A FIXED bits default is a scale hazard — 8 bits = 256 buckets/table
+    * means ~4M rows/bucket at 10^9 vectors and a near-quadratic per-bucket
+    * join; bits must grow with log2(corpus). */
+  def bitsFor(corpusSize: Long, targetBucket: Long = 64): Int = {
+    val b = math.ceil(math.log(math.max(corpusSize, 1).toDouble /
+      targetBucket) / math.log(2)).toInt
+    math.min(24, math.max(4, b))
   }
 
   /** LSH-bucketed approximate top-k: corpus and queries hashed with `tables`

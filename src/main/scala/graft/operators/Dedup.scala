@@ -15,13 +15,18 @@ object Dedup {
   def tokensCol(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
 
-  /** Distinct w-word shingles (default w=3) of a text column. */
+  /** Distinct w-word shingles (default w=3) of a text column. Token-less
+    * documents (empty / punctuation-only / non-Latin under the [a-z0-9]
+    * tokenizer) get an EMPTY shingle set — not a {""} singleton, which would
+    * make every such doc an identical-universe near-dup of every other and
+    * collide them all into one LSH bucket (quadratic candidate blow-up). */
   def shinglesCol(text: Column, w: Int = 3): Column = {
     val toks = tokensCol(text)
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(toks) - w, lit(0))),
-        i => array_join(slice(toks, i + 1, lit(w)), " ")))
+    when(size(toks) === 0, typedLit(Array.empty[String])).otherwise(
+      array_distinct(
+        transform(
+          sequence(lit(0), greatest(size(toks) - w, lit(0))),
+          i => array_join(slice(toks, i + 1, lit(w)), " "))))
   }
 
   /** Exact dedup via content hash: one row per document with its content
@@ -65,7 +70,8 @@ object Dedup {
     * quadratic all-pairs comparison. */
   def lshBuckets(sigs: DataFrame, bands: Int): DataFrame = {
     val rows = (size(col("signature")) / lit(bands)).cast("int")
-    sigs.select(col("doc_id"), col("signature"),
+    sigs.filter(col("signature").isNotNull) // token-less docs: no buckets
+      .select(col("doc_id"), col("signature"),
         posexplode(
           transform(sequence(lit(0), lit(bands - 1)),
             b => xxhash64(concat_ws(",",
@@ -117,25 +123,56 @@ object Dedup {
     val hashExpr = (0 until 64).map { i =>
       when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-    agg.select(col("doc_id"), hashExpr.as("simhash"))
+    val hashed = agg.select(col("doc_id"), hashExpr.as("simhash"))
+    // preserve the doc universe: token-less docs aggregate to nothing above;
+    // give them simhash 0 so output cardinality == input cardinality (same
+    // contract as exact/minhash).
+    docs.select(col(idCol).as("doc_id")).join(hashed, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("simhash"), lit(0L)).as("simhash"))
   }
 
-  /** SimHash near-duplicate pairs: candidates share at least one of four
-    * 16-bit chunks (any pair within Hamming distance 3 must), verified by
-    * exact Hamming distance <= `maxHamming`. */
+  /** SimHash near-duplicate pairs: candidates share at least one CHUNK-PAIR
+    * key, verified by exact Hamming distance <= `maxHamming`.
+    *
+    * Recall guarantee (pigeonhole): with the 64-bit simhash cut into
+    * m = maxHamming + 2 chunks, <= maxHamming differing bits dirty at most
+    * maxHamming chunks, leaving >= 2 clean chunks — so at least one of the
+    * C(m,2) chunk-PAIR keys matches exactly. For the default maxHamming=3:
+    * m=5 chunks of 13 bits, keys are 26-bit combined values -> up to 2^26
+    * buckets per combo (vs 2^16 for single 16-bit chunks, whose 65k-bucket
+    * ceiling makes per-bucket self-joins near-quadratic at 10^9 docs).
+    * Expected candidates per combo ~ N^2 / 2^26 under a uniform hash; the
+    * verify step keeps exactness. */
+  /** Candidate bucket keys for a (doc_id, simhash) frame: one row per
+    * chunk-pair combo with the combined key. Public so tests can assert the
+    * candidate-count bound directly. */
+  def simhashCandidateKeys(sh: DataFrame, maxHamming: Int): DataFrame = {
+    val m = maxHamming + 2
+    val width = 64 / m // last chunk absorbs the remainder bits
+    def chunk(c: Int): Column = {
+      val hi = if (c == m - 1) 64 else (c + 1) * width
+      shiftrightunsigned(col("simhash"), c * width)
+        .bitwiseAND(lit((1L << (hi - c * width)) - 1))
+    }
+    val combos = for (i <- 0 until m; j <- i + 1 until m) yield (i, j)
+    sh.select(col("doc_id"), col("simhash"),
+        posexplode(array(combos.map { case (i, j) =>
+          chunk(i).bitwiseOR(shiftleft(chunk(j), 32)) // chunks <=32 bits each
+        }: _*)))
+      .select(col("doc_id"), col("simhash"),
+        col("pos").as("combo"), col("col").as("key"))
+  }
+
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val sh = simhash(docs, idCol, textCol).persist()
-    val chunks = sh.select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until 4).map(c =>
-          shiftrightunsigned(col("simhash"), c * 16)
-            .bitwiseAND(lit(0xFFFFL))): _*)))
-      .select(col("doc_id"), col("simhash"),
-        col("pos").as("chunk"), col("col").as("chunk_val"))
-    chunks.as("l").join(chunks.as("r"),
-        col("l.chunk") === col("r.chunk") &&
-          col("l.chunk_val") === col("r.chunk_val") &&
+    val keys = simhashCandidateKeys(sh, maxHamming)
+    // sh stays persisted until the caller's action (self-joined: eager
+    // unpersist would recompute simhash on both sides).
+    keys.as("l").join(keys.as("r"),
+        col("l.combo") === col("r.combo") &&
+          col("l.key") === col("r.key") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
         bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))

@@ -27,14 +27,27 @@ final class SnapshotCatalog(root: String) {
   private def tableDir(table: String) = Paths.get(root, table)
   private def currentFile(table: String) = tableDir(table).resolve("current")
 
-  /** Commit `df` as the next snapshot of `table`; returns the snapshot id. */
+  /** Commit `df` as the next snapshot of `table`; returns the snapshot id.
+    *
+    * Concurrent-writer safe: the snapshot id is CLAIMED by an atomic
+    * `Files.createDirectory` (fails if it exists -> retry with the next id),
+    * so two committers can never write the same snap_<id> directory; the
+    * parquet write then goes INTO the claimed directory in append mode
+    * (overwrite would delete + recreate it, reopening the race). The pointer
+    * swap advances monotonically — a concurrent commit that claimed a higher
+    * id and already swapped is never overwritten backwards. */
   def commit(table: String, df: DataFrame): Long = {
     val dir = tableDir(table)
     Files.createDirectories(dir)
-    val parent = currentSnapshot(table)
-    val id = parent.getOrElse(-1L) + 1
+    var id = currentSnapshot(table).getOrElse(-1L) + 1
+    var claimed = false
+    while (!claimed) {
+      try { Files.createDirectory(dir.resolve(s"snap_$id")); claimed = true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => id += 1 }
+    }
+    val parent = Some(id - 1).filter(_ >= 0)
     val snapPath = dir.resolve(s"snap_$id")
-    df.write.mode("overwrite").parquet(snapPath.toString)
+    df.write.mode("append").parquet(snapPath.toString)
     val rows = df.sparkSession.read.parquet(snapPath.toString).count()
     val manifest =
       s"""{"snapshot_id":$id,"parent_id":${parent.getOrElse(-1L)},"rows":$rows,
@@ -43,11 +56,14 @@ final class SnapshotCatalog(root: String) {
     // break the parquet directory scan
     Files.write(dir.resolve(s"manifest_$id.json"),
       manifest.getBytes(StandardCharsets.UTF_8))
-    // atomic pointer swap — the Iceberg-equivalent commit point
-    val tmp = dir.resolve(".current.tmp")
-    Files.write(tmp, id.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, currentFile(table),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // atomic pointer swap — the Iceberg-equivalent commit point. Monotonic:
+    // never move the pointer backwards over a concurrent higher commit.
+    if (!currentSnapshot(table).exists(_ > id)) {
+      val tmp = dir.resolve(s".current.tmp.$id")
+      Files.write(tmp, id.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, currentFile(table),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
     id
   }
 
