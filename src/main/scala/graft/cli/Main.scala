@@ -90,13 +90,18 @@ object Main {
       metricsOut: Option[String] = None): Unit = {
     metrics.foreach { m =>
       println(f"$name iter=${m.iteration}%3d delta=${m.delta}%.3e " +
-        f"secs=${m.seconds}%.3f edges_per_sec=${m.edgesPerSec}%.3e [${m.strategy}]")
+        f"secs=${m.seconds}%.3f edges_per_sec=${m.edgesPerSec}%.3e " +
+        f"shuf_r=${m.shuffleReadBytes / 1e6}%.1fMB shuf_w=${m.shuffleWriteBytes / 1e6}%.1fMB " +
+        f"skew=${m.taskSkew}%.2f [${m.strategy}]")
     }
     metricsOut.foreach { path =>
       val lines = metrics.map { m =>
         val d = if (m.delta.isNaN) "null" else m.delta.toString
+        val sk = if (m.taskSkew.isNaN) "null" else m.taskSkew.toString
         s"""{"algo":"$name","iteration":${m.iteration},"edges":${m.edges},""" +
           s""""seconds":${m.seconds},"edges_per_sec":${m.edgesPerSec},""" +
+          s""""shuffle_read_bytes":${m.shuffleReadBytes},""" +
+          s""""shuffle_write_bytes":${m.shuffleWriteBytes},"task_skew":$sk,""" +
           s""""delta":$d,"strategy":"${m.strategy}"}"""
       }
       java.nio.file.Files.write(java.nio.file.Paths.get(path),

@@ -59,11 +59,15 @@ object Iterate {
     // (which would otherwise share the same upstream plan, e.g. the vertex
     // universe) meet in the convergence join.
     var state = init.localCheckpoint(true)
+    val sc = init.sparkSession.sparkContext
+    val collector = TaskMetricsCollector.attach(sc)
+    var snap = collector.snapshot()
     val metrics = scala.collection.mutable.ArrayBuffer.empty[IterationMetrics]
     var iter = startIter
     var delta = Double.MaxValue
     while (iter < cfg.maxIter && delta >= cfg.tol) {
       val t0 = System.nanoTime()
+      collector.resetMax()
       val stepped = step(state, iter)
       // localCheckpoint (not persist) every k iterations: persist alone
       // truncates recompute but NOT the logical plan, which otherwise grows
@@ -79,10 +83,17 @@ object Iterate {
           Double.MaxValue
         } else lInf(state, next) // action: materializes next
       val secs = (System.nanoTime() - t0) / 1e9
+      // shuffle/skew deltas for this iteration's window (async listener:
+      // values are exact once the bus drains; see TaskMetricsCollector)
+      val cur = collector.snapshot()
+      val d = cur - snap
+      snap = cur
       metrics += IterationMetrics(iter + 1, edgesPerIter, secs,
         if (secs > 0) edgesPerIter / secs else 0.0,
         if (cfg.tol <= 0.0) Double.NaN else delta, // NaN = not measured
-        strategyName)
+        strategyName,
+        shuffleReadBytes = d.shuffleRead, shuffleWriteBytes = d.shuffleWrite,
+        taskSkew = d.skew)
       state.unpersist()
       state = next
       iter += 1
@@ -91,6 +102,8 @@ object Iterate {
           snapshot(dir, state, iter, delta)
       }
     }
+    collector.stabilize()
+    TaskMetricsCollector.detach(sc, collector)
     LoopResult(state, metrics.toSeq)
   }
 

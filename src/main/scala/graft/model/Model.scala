@@ -46,14 +46,21 @@ final case class Page(
 /** Vertex dictionary entry: url -> dense Long id (0-based, contiguous). */
 final case class VertexId(url: String, id: Long)
 
-/** Per-iteration execution metrics (north rule: throughput, shuffle, skew). */
+/** Per-iteration execution metrics (north rule: throughput, shuffle-bytes,
+  * and skew emitted per iteration). `shuffleReadBytes`/`shuffleWriteBytes`
+  * are the task-level totals inside the iteration window; `taskSkew` is
+  * max-task-time / mean-task-time (1.0 = perfectly balanced; a hot key or
+  * straggler shows as >> 1). -1 / NaN = not collected. */
 final case class IterationMetrics(
     iteration: Int,
     edges: Long,
     seconds: Double,
     edgesPerSec: Double,
     delta: Double,
-    strategy: String)
+    strategy: String,
+    shuffleReadBytes: Long = -1L,
+    shuffleWriteBytes: Long = -1L,
+    taskSkew: Double = Double.NaN)
 
 /** Degree-distribution skew statistics
   * (reference analog: max row degree tracked during CSR build,
