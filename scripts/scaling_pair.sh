@@ -1,0 +1,45 @@
+#!/bin/bash
+# N -> 4N scaling-efficiency protocol for a shared noisy box:
+#   - alternate N (1x6-core executor) and 4N (4x6-core executors) runs
+#   - gate every run on 1-min load < $MAXLOAD (outside interference shows
+#     as load spikes of 5-15 here)
+#   - identical job at both sizes (same input, same shuffle partitions);
+#     efficiency is computed from the MIN per level across all rounds
+# Output: one JSON line per run appended to $OUT.
+set -u
+cd "$(dirname "$0")/.."
+ROUNDS=${ROUNDS:-3}
+N=${N:-2097152}
+L=${L:-48}
+ITERS=${ITERS:-10}
+PARTS=${PARTS:-24}
+MAXLOAD=${MAXLOAD:-3.0}
+OUT=${OUT:-/tmp/scaling_runs.jsonl}
+JAR=target/scala-2.13/parallelizinggraphalgorithmsspark_2.13-0.1.0.jar
+
+wait_quiet() {
+  for _ in $(seq 1 40); do
+    load=$(cut -d' ' -f1 /proc/loadavg)
+    ok=$(python3 -c "print(1 if $load < $MAXLOAD else 0)")
+    [ "$ok" = "1" ] && return 0
+    sleep 20
+  done
+  echo "[pair] proceeding despite load $load" >&2
+}
+
+run_level() { # $1 = executors, $2 = label cores
+  wait_quiet
+  SPARK_GRAFT_KERNEL=${KERNEL:-shuffle} SPARK_GRAFT_PARTS=$PARTS \
+  SPARK_SCALA_VERSION=2.13 \
+  SPARK_GRAFT_MASTER="local-cluster[$1,6,16384]" \
+  /opt/spark/bin/spark-submit --driver-memory 8g \
+    --conf spark.executor.memory=14g \
+    --class graft.bench.Scaling "$JAR" "$N" "$L" "$ITERS" --cores "$2" 2>/dev/null \
+    | grep '^{' >> "$OUT"
+}
+
+for r in $(seq 1 "$ROUNDS"); do
+  echo "[pair] round $r N" >&2;  run_level 1 6
+  echo "[pair] round $r 4N" >&2; run_level 4 24
+done
+echo "[pair] done" >&2

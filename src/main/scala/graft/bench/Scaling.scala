@@ -20,18 +20,38 @@ import graft.exec.{GatherStrategy, IterConfig}
 object Scaling {
 
   def run(cores: Int, n: Long, l: Int, iters: Int,
-      strategy: GatherStrategy): (Double, Double) = {
+      strategy: GatherStrategy): (Double, Double, Double) = {
     // SPARK_GRAFT_MASTER overrides (e.g. "local-cluster[4,8,8192]": separate
     // executor JVMs — the truest N-vs-4N-executor analog on one box). Ship
     // the app jar via SPARK_GRAFT_JARS (sbt package output) in that mode.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cores]")
+    // SAME number of shuffle partitions at every parallelism level (override
+    // via SPARK_GRAFT_PARTS): the two cluster sizes must run the IDENTICAL
+    // job — only executor slots differ — or the comparison measures plan
+    // changes, not scaling.
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", cores.toString)
     val b = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cores]"))
+      .master(master)
       .appName(s"graft-scaling-$cores")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-    sys.env.get("SPARK_GRAFT_JARS").foreach(b.config("spark.jars", _))
+    // local-cluster mode: executors are SEPARATE JVMs and need the app jar
+    // shipped; default to the sbt package output.
+    val defaultJar = "target/scala-2.13/parallelizinggraphalgorithmsspark_2.13-0.1.0.jar"
+    val jars = sys.env.get("SPARK_GRAFT_JARS").orElse(
+      if (master.startsWith("local-cluster") &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get(defaultJar)))
+        Some(defaultJar)
+      else None)
+    jars.foreach(b.config("spark.jars", _))
+    // shuffle/spill on tmpfs when present (shared /root disk throttles)
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm"))) {
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get("/dev/shm/graft-spark"))
+      b.config("spark.local.dir", "/dev/shm/graft-spark")
+    }
     // ad-hoc conf overrides: SPARK_GRAFT_CONF="k=v;k2=v2"
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
       .foreach { kv =>
@@ -64,9 +84,16 @@ object Scaling {
       val minIter = steady.map(_.seconds).min
       println(f"[scaling] cores=$cores min_iter_secs=$minIter%.3f " +
         f"edges_per_sec_min=${steady.head.edges / minIter}%.3e")
-      (secs, eps)
+      (secs, eps, minIter)
     } finally spark.stop()
   }
+
+  /** 1-minute load average — recorded around each measurement so a shared-
+    * box interference spike is visible in the evidence, not silent noise. */
+  private def loadAvg(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
 
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toLong else (1L << 17)
@@ -81,12 +108,14 @@ object Scaling {
     val single = args.indexOf("--cores")
     if (single >= 0) {
       val c = args(single + 1).toInt
-      val (secs, eps) = run(c, n, l, iters, strat)
-      println(s"""{"cores":$c,"n":$n,"l":$l,"iters":$iters,"strategy":"$strat","seconds":$secs,"edges_per_sec":$eps}""")
+      val load0 = loadAvg()
+      val (secs, eps, minIter) = run(c, n, l, iters, strat)
+      val load1 = loadAvg()
+      println(s"""{"cores":$c,"n":$n,"l":$l,"iters":$iters,"strategy":"$strat","seconds":$secs,"edges_per_sec":$eps,"min_iter_secs":$minIter,"load_before":$load0,"load_after":$load1}""")
       return
     }
     val results = Seq(8, 32).map { c =>
-      val (secs, eps) = run(c, n, l, iters, strat)
+      val (secs, eps, _) = run(c, n, l, iters, strat)
       (c, secs, eps)
     }
     val t8 = results.find(_._1 == 8).get._2

@@ -13,10 +13,11 @@ import org.apache.spark.sql.functions._
   *   - `symmetric` emits both (i,j) and (j,i) for off-diagonal entries
   *     (`mmio_cpp.h:40-48`).
   *
-  * The header needs file-order semantics, so it is parsed driver-side; the
-  * entry body is transformed distributed (split/cast/conditional explode in
-  * DataFrame ops). MatrixMarket is a small-fixture format — the production
-  * source at 10^12 scale is the parquet page table (Extract + VertexDict).
+  * The header needs file-order semantics, so the bounded prefix (banner +
+  * comments + size line) is parsed driver-side; the O(nnz) entry body is a
+  * distributed textFile scan with codegen'd per-line parsing — `read` scales
+  * to any nnz. The production source at 10^12 scale remains the parquet
+  * page table (Extract + VertexDict); .mtx is the reference-compat format.
   */
 object Mtx {
 
@@ -42,35 +43,61 @@ object Mtx {
     Header(m, n, nnz, pattern, symmetric)
   }
 
-  /** Parse mtx content given as lines; returns (header, edges(src,dst,w)). */
-  def fromLines(spark: SparkSession, lines: Seq[String]): (Header, DataFrame) = {
-    val h = parseHeader(lines)
-    val body = lines.drop(1).filter(l => !l.startsWith("%") && l.trim.nonEmpty)
-      .drop(1) // size line
-    import spark.implicits._
-    val raw = spark.createDataset(body).toDF("line")
+  /** Entry-body transform: "i j [w]" lines -> (src, dst, w) with 0-based
+    * normalize, pattern weights, symmetric expansion — all DataFrame ops. */
+  private def parseBody(body: DataFrame, h: Header): DataFrame = {
+    val raw = body
       .select(split(trim(col("line")), "\\s+").as("t"))
       .select(
         (element_at(col("t"), 1).cast("long") - 1).as("src"),
         (element_at(col("t"), 2).cast("long") - 1).as("dst"),
         (if (h.pattern) lit(1.0)
          else element_at(col("t"), 3).cast("double")).as("w"))
-    val expanded =
-      if (!h.symmetric) raw
-      else raw.select(explode(when(col("src") === col("dst"),
-          array(struct(col("src"), col("dst"), col("w"))))
-        .otherwise(array(
-          struct(col("src"), col("dst"), col("w")),
-          struct(col("dst").as("src"), col("src").as("dst"), col("w")))))
-        .as("e"))
-        .select(col("e.src"), col("e.dst"), col("e.w"))
-    (h, expanded)
+    if (!h.symmetric) raw
+    else raw.select(explode(when(col("src") === col("dst"),
+        array(struct(col("src"), col("dst"), col("w"))))
+      .otherwise(array(
+        struct(col("src"), col("dst"), col("w")),
+        struct(col("dst").as("src"), col("src").as("dst"), col("w")))))
+      .as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.w"))
   }
 
-  /** Read a .mtx file from the local filesystem. */
+  /** Parse mtx content given as lines; returns (header, edges(src,dst,w)). */
+  def fromLines(spark: SparkSession, lines: Seq[String]): (Header, DataFrame) = {
+    val h = parseHeader(lines)
+    val body = lines.drop(1).filter(l => !l.startsWith("%") && l.trim.nonEmpty)
+      .drop(1) // size line
+    import spark.implicits._
+    (h, parseBody(spark.createDataset(body).toDF("line"), h))
+  }
+
+  /** Read a .mtx file DISTRIBUTED: only the banner/comments/size-line prefix
+    * is read driver-side (bounded, a BufferedReader over the first lines);
+    * the entry body — the O(nnz) part — is a parallel textFile scan whose
+    * per-line parse is codegen'd DataFrame ops. zipWithIndex preserves
+    * file order, so body lines are exactly those after the size line (a body
+    * entry may STRING-equal the size line, so prefix-count, not content,
+    * decides). Works on any Hadoop-visible path at any nnz. */
   def read(spark: SparkSession, path: String): (Header, DataFrame) = {
-    val lines = scala.jdk.CollectionConverters.ListHasAsScala(
-      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))).asScala.toSeq
-    fromLines(spark, lines)
+    val head = scala.collection.mutable.ArrayBuffer.empty[String]
+    val src = scala.io.Source.fromFile(path)
+    try {
+      val it = src.getLines()
+      var done = false
+      while (!done && it.hasNext) {
+        val l = it.next(); head += l
+        if (!l.startsWith("%") && l.trim.nonEmpty && head.length > 1)
+          done = true // the size line: first non-comment after the banner
+      }
+    } finally src.close()
+    val h = parseHeader(head.toSeq)
+    val prefixLen = head.length.toLong // lines consumed incl. size line
+    import spark.implicits._
+    val body = spark.sparkContext.textFile(path).zipWithIndex()
+      .filter { case (l, i) =>
+        i >= prefixLen && !l.startsWith("%") && l.trim.nonEmpty }
+      .map(_._1).toDF("line")
+    (h, parseBody(body, h))
   }
 }

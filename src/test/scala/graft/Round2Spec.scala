@@ -129,6 +129,32 @@ class Round2Spec extends SparkSuite {
     assert(got == counts.toMap)
   }
 
+  test("distributed mtx read == fromLines, incl. body line == size line") {
+    // pattern matrix where body entry "3 3" string-equals nothing ambiguous
+    // and a real matrix whose body line "5 5 6" EQUALS its size line — the
+    // prefix-count (not content) must decide where the body starts.
+    val tricky = Seq(
+      "%%MatrixMarket matrix coordinate real general",
+      "% comment",
+      "5 5 6",
+      "1 2 0.5",
+      "5 5 6", // legitimate entry (i=5, j=5, w=6) identical to the size line
+      "2 1 0.5",
+      "3 4 1.25",
+      "4 3 1.25",
+      "5 1 2.0")
+    val f = java.nio.file.Files.createTempFile("graft", ".mtx")
+    java.nio.file.Files.write(f,
+      tricky.mkString("", "\n", "\n").getBytes("UTF-8"))
+    val (h1, e1) = graft.sources.Mtx.fromLines(spark, tricky)
+    val (h2, e2) = graft.sources.Mtx.read(spark, f.toString)
+    assert(h1 == h2)
+    val s1 = e1.as[(Long, Long, Double)].collect().sortBy(t => (t._1, t._2))
+    val s2 = e2.as[(Long, Long, Double)].collect().sortBy(t => (t._1, t._2))
+    assert(s1.toSeq == s2.toSeq)
+    assert(s1.exists(t => t._1 == 4 && t._2 == 4 && t._3 == 6.0))
+  }
+
   test("snapshot catalog: claimed ids never collide with a pre-existing dir") {
     val root = java.nio.file.Files.createTempDirectory("graft-cat2").toString
     val cat = new graft.sources.SnapshotCatalog(root)
