@@ -12,6 +12,7 @@ ROUNDS=${ROUNDS:-3}
 N=${N:-2097152}
 L=${L:-48}
 ITERS=${ITERS:-10}
+EXC=${EXC:-6}   # cores per executor
 PARTS=${PARTS:-24}
 MAXLOAD=${MAXLOAD:-3.0}
 OUT=${OUT:-/tmp/scaling_runs.jsonl}
@@ -31,7 +32,7 @@ run_level() { # $1 = executors, $2 = label cores
   wait_quiet
   SPARK_GRAFT_KERNEL=${KERNEL:-shuffle} SPARK_GRAFT_PARTS=$PARTS \
   SPARK_SCALA_VERSION=2.13 \
-  SPARK_GRAFT_MASTER="local-cluster[$1,6,16384]" \
+  SPARK_GRAFT_MASTER="local-cluster[$1,$EXC,16384]" \
   /opt/spark/bin/spark-submit --driver-memory 8g \
     --conf spark.executor.memory=14g \
     --class graft.bench.Scaling "$JAR" "$N" "$L" "$ITERS" --cores "$2" 2>/dev/null \
@@ -39,7 +40,7 @@ run_level() { # $1 = executors, $2 = label cores
 }
 
 for r in $(seq 1 "$ROUNDS"); do
-  echo "[pair] round $r N" >&2;  run_level 1 6
-  echo "[pair] round $r 4N" >&2; run_level 4 24
+  echo "[pair] round $r N" >&2;  run_level 1 "$EXC"
+  echo "[pair] round $r 4N" >&2; run_level 4 "$((EXC * 4))"
 done
 echo "[pair] done" >&2

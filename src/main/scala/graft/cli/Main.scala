@@ -13,6 +13,7 @@ import graft.exec.{GatherStrategy, IterConfig}
   *   single  --input <edges.parquet|file.mtx> | --n <V> --l <L>
   *           --algo spmv|pagerank|cc|lp|triangles
   *           [--tol 1e-6] [--max-iter 100] [--snapshot-dir DIR] [--out DIR]
+  *           [--metrics-out FILE.jsonl] [--metrics-csv FILE.csv]
   *   scaling --n <V> --l <L> [--iters 10]         # sweep sizes at fixed cores
   *   compare --n <V> --l <L>                       # shuffle vs broadcast plans
   *
@@ -85,7 +86,21 @@ object Main {
 
   /** Metrics sink (reference O1-O4, CSV rows at
     * `/root/reference/src/main.cpp:96-108`): per-iteration JSON lines to
-    * stdout and optionally to a file via --metrics-out. */
+    * stdout and optionally to a file via --metrics-out; --metrics-csv writes
+    * the reference-shaped CSV (header + one row per iteration). */
+  private def reportCsv(name: String,
+      metrics: Seq[graft.model.IterationMetrics], path: String): Unit = {
+    val header = "algo,iteration,edges,seconds,edges_per_sec," +
+      "shuffle_read_bytes,shuffle_write_bytes,task_skew,delta,strategy"
+    val rows = metrics.map { m =>
+      s"$name,${m.iteration},${m.edges},${m.seconds},${m.edgesPerSec}," +
+        s"${m.shuffleReadBytes},${m.shuffleWriteBytes},${m.taskSkew}," +
+        s"${m.delta},${m.strategy}"
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      (header +: rows).mkString("", "\n", "\n").getBytes("UTF-8"))
+  }
+
   private def report(name: String, metrics: Seq[graft.model.IterationMetrics],
       metricsOut: Option[String] = None): Unit = {
     metrics.foreach { m =>
@@ -117,19 +132,23 @@ object Main {
       snapshotDir = arg(args, "snapshot-dir"))
     val out = arg(args, "out")
     val metricsOut = arg(args, "metrics-out")
+    val metricsCsv = arg(args, "metrics-csv")
     val algo = arg(args, "algo").getOrElse("pagerank")
     val result: DataFrame = algo match {
       case "spmv" =>
         SpMV(edges, Synth.state(spark, n), Some(spark.range(n).toDF("id")))
       case "pagerank" =>
         val r = PageRank.run(spark, edges, n, cfg = cfg)
-        report("pagerank", r.metrics, metricsOut); r.state
+        report("pagerank", r.metrics, metricsOut)
+        metricsCsv.foreach(reportCsv("pagerank", r.metrics, _)); r.state
       case "cc" =>
         val r = ConnectedComponents.run(spark, edges, n, cfg)
-        report("cc", r.metrics, metricsOut); r.labels
+        report("cc", r.metrics, metricsOut)
+        metricsCsv.foreach(reportCsv("cc", r.metrics, _)); r.labels
       case "lp" =>
         val r = LabelPropagation.run(spark, edges, n, cfg.maxIter)
-        report("lp", r.metrics, metricsOut); r.labels
+        report("lp", r.metrics, metricsOut)
+        metricsCsv.foreach(reportCsv("lp", r.metrics, _)); r.labels
       case "triangles" =>
         val c = TriangleCount.countTriangles(spark, edges)
         println(s"triangles total=$c")
