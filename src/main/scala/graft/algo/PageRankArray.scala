@@ -99,9 +99,12 @@ object PageRankArray {
         }
       }
       delta = 0.0
+      val l1 = cfg.norm == "l1" // scale-free convergence (see IterConfig)
       v = 0
       while (v < n) {
-        val d = math.abs(next(v) - x(v)); if (d > delta) delta = d; v += 1
+        val d = math.abs(next(v) - x(v))
+        if (l1) delta += d else if (d > delta) delta = d
+        v += 1
       }
       x = next
       bc.destroy()

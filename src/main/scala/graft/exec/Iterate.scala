@@ -22,25 +22,38 @@ import graft.model.IterationMetrics
   *     (north rule), and
   *   - records per-iteration throughput metrics (edges/sec, delta).
   */
+/** @param norm convergence norm: "linf" (max per-vertex delta) or "l1"
+  *   (sum of deltas). For PageRank the state is a probability vector whose
+  *   entries scale as 1/V, so an ABSOLUTE linf tolerance of 1e-6 is
+  *   trivially satisfied at V >= 10^6 after one step and meaningless at
+  *   10^12 pages; the L1 delta (total-variation distance) is scale-free —
+  *   use norm="l1" for convergence-mode PageRank at any size. */
 final case class IterConfig(
     tol: Double = 1e-6,
     maxIter: Int = 100,
     checkpointEvery: Int = 1,
     snapshotDir: Option[String] = None,
-    snapshotEvery: Int = 5)
+    snapshotEvery: Int = 5,
+    norm: String = "linf")
 
 final case class LoopResult(state: DataFrame, metrics: Seq[IterationMetrics])
 
 object Iterate {
 
-  /** L-infinity distance between two (id, x) states. */
-  def lInf(oldState: DataFrame, newState: DataFrame): Double = {
+  /** Distance between two (id, x) states: "linf" max-delta or "l1" sum. */
+  def dist(oldState: DataFrame, newState: DataFrame,
+      norm: String = "linf"): Double = {
+    val d = abs(col("x") - col("x_old"))
     val row = oldState.select(col("id"), col("x").as("x_old"))
       .join(newState, "id")
-      .agg(max(abs(col("x") - col("x_old"))).as("d"))
+      .agg((if (norm == "l1") sum(d) else max(d)).as("d"))
       .head()
     if (row.isNullAt(0)) 0.0 else row.getDouble(0)
   }
+
+  /** L-infinity distance between two (id, x) states. */
+  def lInf(oldState: DataFrame, newState: DataFrame): Double =
+    dist(oldState, newState, "linf")
 
   /** Run `step` from `init` until lInf < tol or maxIter.
     *
@@ -81,7 +94,7 @@ object Iterate {
         if (cfg.tol <= 0.0) { // localCheckpoint(true) already materialized
           if ((iter + 1) % cfg.checkpointEvery != 0) next.count()
           Double.MaxValue
-        } else lInf(state, next) // action: materializes next
+        } else dist(state, next, cfg.norm) // action: materializes next
       val secs = (System.nanoTime() - t0) / 1e9
       // shuffle/skew deltas for this iteration's window (async listener:
       // values are exact once the bus drains; see TaskMetricsCollector)

@@ -129,6 +129,23 @@ class Round2Spec extends SparkSuite {
     assert(got == counts.toMap)
   }
 
+  test("L1 convergence is scale-free and reaches the fixed-point scores") {
+    import graft.algo.PageRank
+    import graft.exec.IterConfig
+    val n = 512L
+    val edges = Synth.band(spark, n, 8)
+    val conv = PageRank.run(spark, edges, n,
+      cfg = IterConfig(tol = 1e-10, maxIter = 200, norm = "l1"))
+    // must actually iterate (an absolute linf tol would stop immediately
+    // once deltas fall under per-vertex magnitude ~1/n)
+    assert(conv.metrics.length > 5 && conv.metrics.length < 200)
+    val fixed = PageRank.run(spark, edges, n,
+      cfg = IterConfig(tol = 0.0, maxIter = 120))
+    val a = conv.state.orderBy("id").as[(Long, Double)].collect().map(_._2)
+    val b = fixed.state.orderBy("id").as[(Long, Double)].collect().map(_._2)
+    a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+  }
+
   test("distributed mtx read == fromLines, incl. body line == size line") {
     // pattern matrix where body entry "3 3" string-equals nothing ambiguous
     // and a real matrix whose body line "5 5 6" EQUALS its size line — the
