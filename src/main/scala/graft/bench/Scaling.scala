@@ -69,7 +69,8 @@ object Scaling {
       val r =
         if (kernel == "array")
           graft.algo.PageRankArray.run(spark, Synth.band(spark, n, l), n,
-            cfg = IterConfig(tol = 0.0, maxIter = iters + warm))
+            cfg = IterConfig(tol = 0.0, maxIter = iters + warm),
+            floatPrecision = sys.env.get("SPARK_GRAFT_FLOAT").contains("1"))
         else PageRank.run(spark, Synth.band(spark, n, l), n,
           cfg = IterConfig(tol = 0.0, maxIter = iters + warm),
           strategy = strategy,
