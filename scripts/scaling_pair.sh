@@ -16,6 +16,7 @@ EXC=${EXC:-6}   # cores per executor
 PARTS=${PARTS:-24}
 MAXLOAD=${MAXLOAD:-3.0}
 OUT=${OUT:-/tmp/scaling_runs.jsonl}
+EXTRA=${EXTRA:-}   # extra Scaling args, e.g. --broadcast
 JAR=target/scala-2.13/parallelizinggraphalgorithmsspark_2.13-0.1.0.jar
 
 wait_quiet() {
@@ -35,7 +36,7 @@ run_level() { # $1 = executors, $2 = label cores
   SPARK_GRAFT_MASTER="local-cluster[$1,$EXC,16384]" \
   /opt/spark/bin/spark-submit --driver-memory 8g \
     --conf spark.executor.memory=14g \
-    --class graft.bench.Scaling "$JAR" "$N" "$L" "$ITERS" --cores "$2" 2>/dev/null \
+    --class graft.bench.Scaling "$JAR" "$N" "$L" "$ITERS" --cores "$2" $EXTRA 2>/dev/null \
     | grep '^{' >> "$OUT"
 }
 
