@@ -28,8 +28,12 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// 24g default: local[32] is a whole "cluster" in one JVM — the bench's
+// 403M-edge CSR cache alone is 3.2 GB, and 32 concurrent build tasks need
+// headroom (measured OOM at 8g). The box has 128 GiB; SPARK_DRIVER_MEM
+// still overrides.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 ) ++ sys.env.get("SPARK_GRAFT_JVM").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

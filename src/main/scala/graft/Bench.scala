@@ -87,6 +87,35 @@ object Bench {
         ("pagerank_220_array_build_sec" -> (wall - iterSec)) +
         ("pagerank_220_array_iterate_sec" -> iterSec)
     },
+    "pagerank_222_arrayf32_10it" -> { s =>
+      // THE like-for-like baseline lane: float kernel (the reference's own
+      // precision), V=2^22 x deg 96 (403M edges — the r02-comparable shape;
+      // the reference headline is V=2^17 x deg ~131: same degree regime, V
+      // scaled so the per-job scheduling floor amortizes the way the
+      // reference amortizes 10 in-process calls per sample). Per-iteration
+      // edges/sec here is the BASELINE.md comparison number; one-time CSR
+      // build split out. Float CSR = 8 B/edge = 3.2 GB cached: fits the
+      // 8 GB bench JVM with the chunked block build.
+      val t0 = System.nanoTime()
+      val r = graft.algo.PageRankArray.run(s, Synth.band(s, 1L << 22, 96),
+        1L << 22, cfg = IterConfig(tol = 0.0, maxIter = 10),
+        floatPrecision = true)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val iterSec = r.metrics.map(_.seconds).sum
+      iterExtras("pagerank_222_arrayf32_10it", r.metrics) +
+        ("pagerank_222_arrayf32_build_sec" -> (wall - iterSec)) +
+        ("pagerank_222_arrayf32_iterate_sec" -> iterSec)
+    },
+    "mtx_spmv_skew" -> { s =>
+      // reference-compat format lane: a deterministic SuiteSparse-shaped
+      // SKEWED matrix (64 dense rows of 1024 nnz + uniform deg-8 tail)
+      // written as .mtx, read back DISTRIBUTED (Mtx.read), one SpMV pass
+      val path = skewMtxPath(s)
+      val (h, edges) = graft.sources.Mtx.read(s, path)
+      SpMV(edges, Synth.state(s, h.rows), None, GatherStrategy.ShuffleJoin)
+        .agg(sum("x")).head()
+      Map.empty
+    },
     "pagerank_220_convergence" -> { s =>
       // full convergence to 1e-6 — the BASELINE.json headline metric.
       // L1 (total-variation) norm: per-vertex scores scale as 1/V, so an
@@ -129,6 +158,49 @@ object Bench {
       Map.empty
     })
 
+  /** Deterministic skewed .mtx fixture for the mtx lane, written once per
+    * JVM (64 hub rows x 1024 nnz + deg-8 tail over 200k rows, ~1.7M nnz —
+    * the head/tail skew shape of the reference's SuiteSparse set). */
+  private lazy val skewMtxFile: String = {
+    val dir = if (java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get("/dev/shm"))) "/dev/shm" else sys.props("java.io.tmpdir")
+    val p = java.nio.file.Paths.get(dir, "graft_skew_200k.mtx")
+    val n = 200000
+    val hubs = 64
+    val hubDeg = 1024
+    val tailDeg = 8
+    val nnz = hubs.toLong * hubDeg + (n - hubs).toLong * tailDeg
+    val w = java.nio.file.Files.newBufferedWriter(p)
+    try {
+      w.write("%%MatrixMarket matrix coordinate real general\n")
+      w.write(s"$n $n $nnz\n")
+      def mix(z0: Long): Long = { // splitmix64-style, deterministic
+        var z = z0 + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      val sb = new java.lang.StringBuilder(64)
+      var r = 1
+      while (r <= n) {
+        val deg = if (r <= hubs) hubDeg else tailDeg
+        var j = 0
+        while (j < deg) {
+          val c = (java.lang.Long.remainderUnsigned(mix(r.toLong * 131071 + j), n) + 1).toInt
+          sb.setLength(0)
+          sb.append(r).append(' ').append(c).append(' ')
+            .append(((r + j) % 97 + 1) / 97.0).append('\n')
+          w.write(sb.toString)
+          j += 1
+        }
+        r += 1
+      }
+    } finally w.close()
+    p.toString
+  }
+
+  private def skewMtxPath(s: SparkSession): String = skewMtxFile
+
   def session(cpus: String): SparkSession = {
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -136,6 +208,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // the array-kernel lanes broadcast a 16-33 MB incompressible packed
+      // state per iteration: lz4 would add ~40 ms/iter for a ~0% ratio
+      .config("spark.broadcast.compress", "false")
+      // packed next-state slices return on the direct task-result fast path
+      .config("spark.task.maxDirectResultSize", "64m")
+      // the 3.2 GB MEMORY_ONLY CSR cache must survive build-time execution
+      // pressure: a dropped block silently recomputes EVERY iteration
+      .config("spark.memory.storageFraction", "0.65")
       .config("spark.ui.enabled", "false")
     // shuffle/spill on tmpfs when present: the shared disk on this box
     // throttles shuffle-heavy stages (a cluster's executors own their disks)
@@ -149,54 +229,99 @@ object Bench {
     s
   }
 
+  /** Lanes whose dominant cost is a one-time build amortized across many
+    * measured iterations INSIDE the run (per-iteration stats come from
+    * within-run iteration samples): whole-lane repeats add build time, not
+    * statistical power, so they are capped below the adaptive ceiling. */
+  private val laneCap: Map[String, Int] = Map(
+    "pagerank_222_arrayf32_10it" -> 1,
+    "mtx_spmv_skew" -> 2,
+    "pagerank_220_shuffle_5it" -> 3,
+    "pagerank_220_convergence" -> 3,
+    "cc_blocks_1m" -> 3,
+    "dedup_minhash_sf" -> 3)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val maxRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXRUNS", "10").toInt
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
     val spark = session(cpus)
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val stats = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val extra = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val laneRuns = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val selected = // optional lane filter: `runMain graft.Bench cc_blocks_1m ...`
       if (args.isEmpty) benches(sfDir)
       else benches(sfDir).filter { case (n, _) => args.contains(n) }
     selected.foreach { case (name, fn) =>
+      // a lane run that THROWS never enters walls (a short time-to-exception
+      // must not masquerade as the lane's fastest run); failures surface in
+      // the JSON `errors` map instead.
       val walls = scala.collection.mutable.ArrayBuffer.empty[Double]
-      (1 to runs).foreach { _ =>
+      var attempts = 0
+      var failures = 0
+      def once(): Unit = {
         // lane isolation within the shared JVM: evict stray cached relations
         // and let the heap settle, or earlier lanes' GC debt taxes later
         // ones (measured: 18 s lane ballooning to 240 s late in a run)
         spark.catalog.clearCache()
         System.gc()
+        attempts += 1
         val t0 = System.nanoTime()
         try {
           val aux = fn(spark)
+          walls += (System.nanoTime() - t0) / 1e9
           aux.foreach { case (k, v) => if (!v.isNaN) extra(k) = v }
         } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failures += 1
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          errors(name) = msg.replaceAll("[\"\\\\\n\r\t]", " ").take(300)
+          System.err.println(s"[bench] $name failed: $msg")
         }
-        walls += (System.nanoTime() - t0) / 1e9
       }
-      results(name) = walls.min
-      // cold-run discard for the stats (JIT/codegen/cache-fill dominates run
-      // 1 — the reference discards it too, abstractGraph.hpp:52-56); min is
-      // over all runs (cold is never the min).
-      val warm = if (walls.length >= 3) walls.drop(1) else walls
-      if (warm.length >= 2) {
-        val (mean, _, variance) = graft.bench.Measure.stats(warm.toSeq)
-        val ci = graft.bench.Measure.t95(warm.length - 1) *
-          math.sqrt(variance / warm.length)
-        stats(name) = (mean, ci)
+      val cap = math.max(1, math.min(maxRuns, laneCap.getOrElse(name, maxRuns)))
+      // relative 95% CI of the warm runs (Measure's t-criterion): noisy
+      // lanes EARN extra repeats up to `cap` instead of a fixed count
+      def relCi: Double = {
+        val warm = if (walls.length >= 3) walls.drop(1).toSeq else walls.toSeq
+        if (warm.length < 2) Double.MaxValue
+        else {
+          val (mean, _, variance) = graft.bench.Measure.stats(warm)
+          if (mean <= 0) 0.0
+          else graft.bench.Measure.t95(warm.length - 1) *
+            math.sqrt(variance / warm.length) / mean
+        }
+      }
+      while (attempts < math.min(runs, cap)) once()
+      while (attempts < cap && failures < 3 && relCi > 0.15) once()
+      laneRuns(name) = walls.length
+      if (walls.nonEmpty) {
+        results(name) = walls.min
+        // cold-run discard for the stats (JIT/codegen/cache-fill dominates
+        // run 1 — the reference discards it too, abstractGraph.hpp:52-56);
+        // min is over all runs (cold is never the min).
+        val warm = if (walls.length >= 3) walls.drop(1) else walls
+        if (warm.length >= 2) {
+          val (mean, _, variance) = graft.bench.Measure.stats(warm.toSeq)
+          val ci = graft.bench.Measure.t95(warm.length - 1) *
+            math.sqrt(variance / warm.length)
+          stats(name) = (mean, ci)
+        }
       }
     }
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val th = extra.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val st = stats.map { case (k, (m, ci)) =>
       s""""$k":{"mean":$m,"ci95":$ci}""" }.mkString("{", ",", "}")
+    val lr = laneRuns.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val er = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val total = results.values.sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""throughput":$th,"stats":$st,"runs":$runs,"sf":"$sfDir","cores":$cpus}"""
+      s""""throughput":$th,"stats":$st,"lane_runs":$lr,"errors":$er,""" +
+      s""""runs":$runs,"sf":"$sfDir","cores":$cpus}"""
     println(json)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))

@@ -80,15 +80,26 @@ object Mtx {
     * entry may STRING-equal the size line, so prefix-count, not content,
     * decides). Works on any Hadoop-visible path at any nnz. */
   def read(spark: SparkSession, path: String): (Header, DataFrame) = {
+    // header prefix via the Hadoop FileSystem API — works on file:/hdfs:/s3a:
+    // alike (scala.io.Source would be local-FS only). A directory/glob is
+    // rejected: prefixLen is a single-file line offset and would silently
+    // mis-scope across concatenated parts.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.getFileStatus(hPath).isFile,
+      s"Mtx.read takes a single .mtx file (got a directory/glob): $path")
     val head = scala.collection.mutable.ArrayBuffer.empty[String]
-    val src = scala.io.Source.fromFile(path)
+    val src = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(hPath),
+        java.nio.charset.StandardCharsets.UTF_8))
     try {
-      val it = src.getLines()
       var done = false
-      while (!done && it.hasNext) {
-        val l = it.next(); head += l
+      var l = src.readLine()
+      while (!done && l != null) {
+        head += l
         if (!l.startsWith("%") && l.trim.nonEmpty && head.length > 1)
           done = true // the size line: first non-comment after the banner
+        else l = src.readLine()
       }
     } finally src.close()
     val h = parseHeader(head.toSeq)
