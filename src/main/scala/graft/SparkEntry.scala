@@ -135,6 +135,41 @@ object SparkEntry {
        |      THEN (CAST(1 AS BIGINT) << q) ELSE 0 END), 'sum') AS sig
        |  FROM e CROSS JOIN p CROSS JOIN (SELECT unnest(range(0, $tables)) AS t) tt)""".stripMargin
 
+  /** SQL replica of Dedup.simhash: token bits from md5 (two 60-bit hex
+    * slices of the digest — md5 exists on both sides, xxhash64 does not),
+    * 64 conditional bit-sums, disjoint-bit assembly. Bit 63 is added as
+    * min-long; with disjoint bits, + and bitwise-OR are identical, and the
+    * non-negative partial sum of bits 0..62 (< 2^63) plus -2^63 never
+    * overflows. Keep in sync with Dedup.simhash. */
+  private def sqlSimhash: String = {
+    val sums = (0 until 64).map { i =>
+      val (h, s) = if (i < 60) ("h1", i) else ("h2", i - 60)
+      s"SUM(CASE WHEN (($h >> $s) & 1) = 1 THEN 1 ELSE -1 END) AS b$i"
+    }.mkString(",\n    ")
+    val terms = (0 until 64).map { i =>
+      val v = if (i == 63) "(-9223372036854775807 - 1)" else (1L << i).toString
+      s"(CASE WHEN b$i > 0 THEN CAST($v AS BIGINT) ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""toks AS (
+       |  SELECT doc_id,
+       |         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+       |                t -> len(t) > 0)) AS token
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5(token), 1, 15))::BIGINT AS h1,
+       |         ('0x' || substr(md5(token), 16, 15))::BIGINT AS h2
+       |  FROM toks),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM h GROUP BY doc_id),
+       |sh AS (
+       |  SELECT doc_id,
+       |    $terms AS simhash
+       |  FROM bits)""".stripMargin
+  }
+
   // =========================== queries ===========================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -262,14 +297,19 @@ object SparkEntry {
       Dedup.exact(s.read.parquet(t(sf, "documents")), "doc_id", "text")
         .orderBy("doc_id")),
 
-    // --- dedup: minhash+LSH near-dup pairs (no SQL oracle: xxhash64) ---
+    // --- dedup: minhash+LSH near-dup pairs. The oracle computes EXACT
+    // jaccard >= 0.5 over all pairs while the engine is approximate LSH
+    // (k=32, bands=8, rows=4: detect prob 1-(1-j^4)^8, i.e. ~40% at
+    // j=0.50 but >99.9% at j>=0.87); equality holds because the fixture's
+    // dup pairs are high-jaccard — Round3Spec asserts that margin so a
+    // near-threshold fixture change fails LOUDLY there, not here. ---
     "dedup_minhash" -> ((s, sf) =>
       Dedup.minhashPairs(s.read.parquet(t(sf, "documents")), "doc_id", "text",
           k = 32, bands = 8, threshold = 0.5)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("a", "b")),
 
-    // --- dedup: simhash ---
+    // --- dedup: simhash (md5-bit hash -> fully SQL-oracled) ---
     "dedup_simhash" -> ((s, sf) =>
       Dedup.simhash(s.read.parquet(t(sf, "documents")), "doc_id", "text")
         .orderBy("doc_id")),
@@ -331,15 +371,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // --- text analysis: language id + quality (SQL-expressible; the
-    // xxhash64 fingerprint is split into its own rows-only query) ---
+    // --- text analysis: language id + quality (the fingerprint keeps its
+    // own query/oracle row below) ---
     "text_analyze" -> ((s, sf) =>
       TextAnalysis.analyze(s.read.parquet(t(sf, "documents")), "doc_id", "text")
         .drop("fingerprint")
         .orderBy("doc_id")),
 
-    // --- text analysis: rolling-hash document fingerprint (xxhash64-based —
-    // genuinely un-oracleable in ANSI SQL; covered by ScalaTest invariants) ---
+    // --- text analysis: rolling-hash document fingerprint (md5-chunk
+    // Rabin-Karp mod 1e9+7 -> fully SQL-oracled) ---
     "text_fingerprint" -> ((s, sf) =>
       TextAnalysis.analyze(s.read.parquet(t(sf, "documents")), "doc_id", "text")
         .select("doc_id", "fingerprint")
@@ -688,6 +728,34 @@ object SparkEntry {
         |            ELSE greatest(0.0, 1.0 - punct * 5) END) * 0.2,
         |    0.0), 1.0), 6) AS quality
         |FROM t3 ORDER BY doc_id""".stripMargin,
+
+    // md5-bit simhash replica (see sqlSimhash); token-less docs -> 0, same
+    // as the engine's coalesce.
+    "dedup_simhash" ->
+      s"""WITH $sqlSimhash
+         |SELECT d.doc_id, coalesce(sh.simhash, 0) AS simhash
+         |FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Rabin-Karp fingerprint replica: same normalize, same 64-char chunking,
+    // same md5-60bit chunk values, same (acc*131 + h) % 1e9+7 fold.
+    // list_reduce seeds with the first element == aggregate's first step
+    // from acc=0 (0*131 + h0 = h0). Keep in sync with
+    // TextAnalysis.fingerprint.
+    "text_fingerprint" ->
+      """WITH n AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, list_transform(
+        |    range(0, greatest((length(norm) - 1) // 64, 0) + 1),
+        |    i -> ('0x' || substr(md5(substr(norm, CAST(i * 64 + 1 AS INT), 64)),
+        |          1, 15))::BIGINT % 1000000007) AS chunks
+        |  FROM n)
+        |SELECT doc_id,
+        |       list_reduce(chunks, (a, b) -> (a * 131 + b) % 1000000007)
+        |         AS fingerprint
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

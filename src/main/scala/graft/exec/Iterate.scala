@@ -71,6 +71,24 @@ object Iterate {
     // AND prevents "conflicting references" when old and new generations
     // (which would otherwise share the same upstream plan, e.g. the vertex
     // universe) meet in the convergence join.
+    // AQE OFF for the loop (restored after): the iteration plan is STATIC —
+    // partitioning is pinned by explicit repartition and the join sides are
+    // hinted — so adaptive re-planning only adds driver latency and extra
+    // stage-boundary jobs to every iteration (scaling-efficiency tax at any
+    // executor count; VERDICT r02 #2).
+    val sess = init.sparkSession
+    val aqeBefore = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try loopBody(init, cfg, edgesPerIter, strategyName, startIter)(step)
+    finally sess.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
+  private def loopBody(
+      init: DataFrame,
+      cfg: IterConfig,
+      edgesPerIter: Long,
+      strategyName: String,
+      startIter: Int)(step: (DataFrame, Int) => DataFrame): LoopResult = {
     var state = init.localCheckpoint(true)
     val sc = init.sparkSession.sparkContext
     val collector = TaskMetricsCollector.attach(sc)

@@ -110,14 +110,25 @@ object Dedup {
 
   /** 64-bit SimHash per document: bit i of the hash is 1 iff the sum over
     * token hashes of (+1 if bit i set else -1) is positive. Expressed as 64
-    * conditional sums in ONE hash-aggregate (map-side combinable). */
+    * conditional sums in ONE hash-aggregate (map-side combinable).
+    *
+    * Token bits come from md5 (two 60-bit halves of the 128-bit digest,
+    * hex-parsed), NOT xxhash64: md5/conv/bit-ops are codegen'd builtins on
+    * the Spark side AND exist in DuckDB, so the driver oracle replicates
+    * the exact bit pattern (the `Ann.planeComponent` move — closes the
+    * last no_oracle rows, VERDICT r02 #3). */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val md = md5(col("token"))
     val tokenHashes = docs.select(col(idCol).as("doc_id"),
         explode(tokensCol(col(textCol))).as("token"))
-      .select(col("doc_id"), xxhash64(col("token")).as("h"))
+      .select(col("doc_id"),
+        conv(substring(md, 1, 15), 16, 10).cast("long").as("h1"),
+        conv(substring(md, 16, 15), 16, 10).cast("long").as("h2"))
+    def bit(i: Int): Column =
+      if (i < 60) shiftrightunsigned(col("h1"), i).bitwiseAND(lit(1L))
+      else shiftrightunsigned(col("h2"), i - 60).bitwiseAND(lit(1L))
     val bitSums = (0 until 64).map { i =>
-      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1))
-        .as(s"b$i")
+      sum(when(bit(i) === 1L, 1).otherwise(-1)).as(s"b$i")
     }
     val agg = tokenHashes.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
     val hashExpr = (0 until 64).map { i =>
@@ -138,8 +149,9 @@ object Dedup {
     * m = maxHamming + 2 chunks, <= maxHamming differing bits dirty at most
     * maxHamming chunks, leaving >= 2 clean chunks — so at least one of the
     * C(m,2) chunk-PAIR keys matches exactly. For the default maxHamming=3:
-    * m=5 chunks of 13 bits, keys are 26-bit combined values -> up to 2^26
-    * buckets per combo (vs 2^16 for single 16-bit chunks, whose 65k-bucket
+    * m=5 chunks of 64/5=12 bits (the LAST chunk absorbs the remainder ->
+    * 16 bits), so a chunk-pair key carries 24-28 bits -> ~2^26 buckets per
+    * combo (vs 2^16 for single 16-bit chunks, whose 65k-bucket
     * ceiling makes per-bucket self-joins near-quadratic at 10^9 docs).
     * Expected candidates per combo ~ N^2 / 2^26 under a uniform hash; the
     * verify step keeps exactness. */

@@ -76,24 +76,25 @@ object TextAnalysis {
       lit(0.0)), lit(1.0)), 6)
   }
 
-  /** 64-bit polynomial rolling-hash fingerprint of the normalized text
-    * (lowercase, collapsed whitespace): h = Σ c_i · B^(n-1-i) mod 2^64,
-    * B = 1000003. Order-sensitive (unlike MinHash), locality-free —
-    * the classic Rabin-Karp document fingerprint. Implemented as a Horner
-    * fold over characters in `aggregate` (wrap-around multiplication is
-    * intentional, ANSI-safe via explicit unchecked ops in codegen'd
-    * `aggregate` over longs is NOT available — so we fold with xxhash64
-    * chunks instead: hash of 64-char chunks combined positionally). */
+  /** Polynomial rolling-hash fingerprint of the normalized text (lowercase,
+    * collapsed whitespace): Rabin-Karp over 64-char chunks,
+    *   h = fold_chunks (acc · B + md5_60(chunk)) mod P,  B=131, P=1000000007.
+    * Order-sensitive (unlike MinHash): swapped chunks change the value.
+    * Chunk values are the first 15 hex digits of md5 (a 60-bit integer);
+    * md5/conv are codegen'd Spark builtins AND exist in DuckDB, so the
+    * driver oracle reproduces the value exactly (xxhash64 — the previous
+    * chunk hash — has no ANSI-SQL equivalent; VERDICT r02 #3). Mod-P
+    * arithmetic keeps every intermediate < 1.4e11 — no BIGINT overflow on
+    * either side (DuckDB errors on int64 overflow; ANSI Spark would too). */
   def fingerprint(text: Column): Column = {
     val norm = regexp_replace(lower(text), "\\s+", " ")
-    // chunked rolling combine: xxhash64 of (chunk index, chunk bytes),
-    // XOR-folded — deterministic, distributive over fixed chunking.
+    val P = 1000000007L
     val chunks = transform(
       sequence(lit(0),
         greatest(((length(norm) - 1) / lit(64)).cast("int"), lit(0))),
-      i => xxhash64(concat(i.cast("string"), lit("|"),
-        substring(norm, i * 64 + 1, lit(64)))))
-    aggregate(chunks, lit(0L), (acc, h) => acc.bitwiseXOR(h))
+      i => conv(substring(md5(substring(norm, i * 64 + 1, lit(64))), 1, 15),
+        16, 10).cast("long") % P)
+    aggregate(chunks, lit(0L), (acc, h) => (acc * 131L + h) % P)
   }
 
   /** Full per-document text-analysis projection. */
