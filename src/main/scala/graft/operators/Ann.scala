@@ -26,10 +26,27 @@ object Ann {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Per-query exact top-k of a scored (query_id, vec_id, cosine) relation
+    * via the [[graft.functions.BoundedTopK]] aggregate: map-side partial
+    * aggregation reduces every partition to <= k rows per query BEFORE the
+    * shuffle, which then carries <= k·P rows per query — NOT the full
+    * scored relation, and with NO global sort (a
+    * `row_number().over(Window.partitionBy(query))` plan shuffles and sorts
+    * all N·Q scored rows: a scale-killer at 10^9 corpus rows). */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.functions.BoundedTopK
+        .boundedTopK(col("cosine"), col("vec_id"), k).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("t"))
+      .select(col("query_id"), col("t.id").as("vec_id"),
+        col("t.score").as("cosine"), col("t.rank").as("rank"))
+
   /** Exact brute-force top-k by cosine: for each row of `queries`
     * (query_id, embedding), the k corpus rows (vec_id, embedding) with the
     * highest cosine similarity. Ties broken by vec_id ascending
-    * (deterministic). `queries` is broadcast — corpus scans once. */
+    * (deterministic). `queries` is broadcast — corpus scans once; the
+    * bounded top-k aggregate keeps the post-scan shuffle at k·P rows per
+    * query. */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       corpusId: String = "vec_id", queryId: String = "query_id"): DataFrame = {
@@ -40,11 +57,7 @@ object Ann {
     val scored = c.crossJoin(broadcast(q))
       .select(col("query_id"), col("vec_id"),
         cosine(col("c_emb"), col("q_emb")).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+    topKPerQuery(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
@@ -58,13 +71,19 @@ object Ann {
       lit(2001L)) - 1000L).cast("double") / 1000.0
 
   /** Bucket-count sizing: bits so that an N-row corpus lands ~`targetBucket`
-    * rows per bucket (bits = log2(N / targetBucket), clamped to [4, 24]).
-    * A FIXED bits default is a scale hazard — 8 bits = 256 buckets/table
-    * means ~4M rows/bucket at 10^9 vectors and a near-quadratic per-bucket
-    * join; bits must grow with log2(corpus). */
+    * rows per bucket (bits = ceil-log2 of ceil(N / targetBucket), clamped to
+    * [4, 24]). A FIXED bits default is a scale hazard — 8 bits = 256
+    * buckets/table means ~4M rows/bucket at 10^9 vectors and a
+    * near-quadratic per-bucket join; bits must grow with log2(corpus).
+    *
+    * INTEGER arithmetic (bit length of q-1), not ceil(ln/ln): at exact
+    * powers of two the float ratio can land at k±1ulp and ceil() to k+1 on
+    * one side while the oracle's log2 yields k — flipping every LSH bucket
+    * between engine and oracle. The SQL mirror uses length(bin(q-1))
+    * (sqlLshSigs); keep the two in sync. */
   def bitsFor(corpusSize: Long, targetBucket: Long = 64): Int = {
-    val b = math.ceil(math.log(math.max(corpusSize, 1).toDouble /
-      targetBucket) / math.log(2)).toInt
+    val q = (math.max(corpusSize, 1) + targetBucket - 1) / targetBucket
+    val b = if (q <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(q - 1)
     math.min(24, math.max(4, b))
   }
 
@@ -91,10 +110,7 @@ object Ann {
       .select(col("query_id"), col("vec_id"),
         cosine(col("c_emb"), col("q_emb")).as("cosine"))
       .groupBy("query_id", "vec_id").agg(first("cosine").as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    cands.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(cands, k)
   }
 
   /** Signature with plane indices offset by `off` (independent tables). */

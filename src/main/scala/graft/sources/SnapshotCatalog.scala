@@ -39,13 +39,16 @@ final class SnapshotCatalog(root: String) {
   def commit(table: String, df: DataFrame): Long = {
     val dir = tableDir(table)
     Files.createDirectories(dir)
-    var id = currentSnapshot(table).getOrElse(-1L) + 1
+    // lineage = the committed tip THIS writer derived from, read at claim
+    // time (id - 1 would fabricate a parent: the id-1 directory may be a
+    // concurrent writer's still-uncommitted claim)
+    val parent = currentSnapshot(table)
+    var id = parent.getOrElse(-1L) + 1
     var claimed = false
     while (!claimed) {
       try { Files.createDirectory(dir.resolve(s"snap_$id")); claimed = true }
       catch { case _: java.nio.file.FileAlreadyExistsException => id += 1 }
     }
-    val parent = Some(id - 1).filter(_ >= 0)
     val snapPath = dir.resolve(s"snap_$id")
     df.write.mode("append").parquet(snapPath.toString)
     val rows = df.sparkSession.read.parquet(snapPath.toString).count()
@@ -56,14 +59,25 @@ final class SnapshotCatalog(root: String) {
     // break the parquet directory scan
     Files.write(dir.resolve(s"manifest_$id.json"),
       manifest.getBytes(StandardCharsets.UTF_8))
-    // atomic pointer swap — the Iceberg-equivalent commit point. Monotonic:
-    // never move the pointer backwards over a concurrent higher commit.
-    if (!currentSnapshot(table).exists(_ > id)) {
-      val tmp = dir.resolve(s".current.tmp.$id")
-      Files.write(tmp, id.toString.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, currentFile(table),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    }
+    // atomic pointer swap — the Iceberg-equivalent commit point. Monotonic,
+    // and the monotonicity CHECK and the move are one atomic unit under an
+    // exclusive cross-process file lock: a bare check-then-move lets a
+    // concurrent higher commit swap between the two and then be rolled
+    // backwards by this writer.
+    val lockCh = java.nio.channels.FileChannel.open(dir.resolve(".current.lock"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock = lockCh.lock()
+      try {
+        if (!currentSnapshot(table).exists(_ > id)) {
+          val tmp = dir.resolve(s".current.tmp.$id")
+          Files.write(tmp, id.toString.getBytes(StandardCharsets.UTF_8))
+          Files.move(tmp, currentFile(table),
+            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        }
+      } finally lock.release()
+    } finally lockCh.close()
     id
   }
 

@@ -1,0 +1,19 @@
+/* Bridge into Spark's private[sql] Column <-> Expression converters.
+ *
+ * Spark 4 unified `Column` around ColumnNode (Connect + classic); the
+ * classic-side converters live in org.apache.spark.sql.classic.ExpressionUtils
+ * as private[sql]. Custom Catalyst expressions (graft.functions.BoundedTopK)
+ * need exactly these two functions, so this file sits in a subpackage of
+ * org.apache.spark.sql — the standard extension-library pattern (same move
+ * as delta/frameless bridges). Nothing else from the private API is used.
+ */
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+object bridge {
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+}
