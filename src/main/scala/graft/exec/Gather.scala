@@ -28,7 +28,17 @@ object GatherStrategy {
     * shuffle-free (the reference's K6 broadcast-gather kernel). */
   case object BroadcastState extends GatherStrategy
   /** Size-based choice per run: broadcast while the state ships cheaply
-    * (~16 B/vertex/iteration to every executor), shuffle beyond. */
+    * (~16 B/vertex/iteration to every executor), shuffle beyond.
+    *
+    * The 4M-vertex default pins the MEASURED r02 trade-off point on this
+    * class of box: the broadcast plan rebuilds a driver-side hashed
+    * relation every iteration — a serial term no executor count dilutes
+    * (N→4N efficiency 0.28, but 4.45 s/iter absolute at 2^21 vertices) —
+    * while ShuffleJoin scales (0.84 efficiency) at 16.9 s/iter. Broadcast
+    * wins below ~4M vertices on wall-clock; beyond that the serial rebuild
+    * dominates and ShuffleJoin (or the flat-CSR PageRankArray kernel, whose
+    * per-iteration serial term is two O(V) memcpys, not a hashed-relation
+    * build) takes over. */
   final case class Auto(maxBroadcastVertices: Long = 4L * 1000 * 1000)
       extends GatherStrategy
 

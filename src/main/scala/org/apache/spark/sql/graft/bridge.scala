@@ -16,4 +16,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Register a function builder on an existing session's registry
+    * (sessionState is private[sql]; new sessions should use
+    * spark.sql.extensions with graft.GraftExtensions instead). */
+  def registerFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      id: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(id, info, builder)
 }
