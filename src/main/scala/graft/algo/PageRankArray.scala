@@ -125,13 +125,20 @@ object PageRankArray {
     // one-time CSR build (in-neighbor orientation; reference C1+C2), cached
     // DESERIALIZED as one flat block per partition: iterations touch
     // primitive arrays directly — no columnar decode, no object-per-vertex.
-    // shuffle_hash: the O(V) weight side builds the hash table; SMJ would
-    // SORT the O(E) edge side just to normalize it (measured in the build
-    // wall at 403M edges).
+    // Normalize join, smallest-shuffle physical shape by V:
+    //   - V <= 8M (always true in this kernel's broadcast regime at bench
+    //     shapes): BROADCAST the O(V) weight side — the O(E) edge stream
+    //     never shuffles for the join at all (one O(E) shuffle remains in
+    //     the whole build: the repartition-by-dst below);
+    //   - larger V: shuffle_hash — the weight side builds the hash table;
+    //     default SMJ would SORT the O(E) edge side just to normalize it
+    //     (measured in the 403M-edge build wall).
     val outW = edges.groupBy("src").agg(
       (if (weighted) sum("w") else count(lit(1)).cast("double")).as("wtot"))
       .filter(col("wtot") > 0) // wtot<=0 -> dangling, not NaN (see PageRank)
-    val normBase = edges.join(outW.hint("shuffle_hash"), "src")
+    val outWSide =
+      if (nVertices <= (8L << 20)) broadcast(outW) else outW.hint("shuffle_hash")
+    val normBase = edges.join(outWSide, "src")
       .select(col("src"), col("dst"),
         ((if (weighted) col("w") else lit(1.0)) / col("wtot")).as("p"))
     // hash-partitioned + dst-sorted ROW STREAM -> CSR blocks: each dst lives
@@ -222,7 +229,9 @@ object PageRankArray {
     // uniformly each iteration. Precomputed as a flat id array so the
     // per-iteration driver loop is O(#dangling), not O(V).
     val hasOut = new java.util.BitSet(n)
-    normBase.select("src").distinct().as[Long].collect().foreach(s => hasOut.set(s.toInt))
+    // outW IS the non-dangling set (positive out-weight per src): O(V) rows
+    // from a map-side-combined aggregate — not an O(E) distinct shuffle
+    outW.select("src").as[Long].collect().foreach(s => hasOut.set(s.toInt))
     val danglingIds: Array[Int] = {
       val b = scala.collection.mutable.ArrayBuffer.empty[Int]
       var v = 0
