@@ -31,8 +31,15 @@ wait_quiet() {
 
 run_level() { # $1 = executors, $2 = label cores
   wait_quiet
+  mkdir -p /dev/shm/graft-spark
+  # SPARK_LOCAL_DIRS must be in the ENV: local-cluster worker threads (in
+  # the driver JVM) pass their env to forked executor JVMs; the
+  # spark.local.dir conf does NOT reach executors in this mode, so without
+  # it spill/shuffle lands on the slow shared disk (measured: a 4x6 run at
+  # 403M edges crawled at ~5 busy cores for 20+ min).
   SPARK_GRAFT_KERNEL=${KERNEL:-shuffle} SPARK_GRAFT_PARTS=$PARTS \
   SPARK_SCALA_VERSION=2.13 \
+  SPARK_LOCAL_DIRS=/dev/shm/graft-spark \
   SPARK_GRAFT_MASTER="local-cluster[$1,$EXC,16384]" \
   /opt/spark/bin/spark-submit --driver-memory 8g \
     --conf spark.executor.memory=14g \

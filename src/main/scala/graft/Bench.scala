@@ -211,6 +211,10 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // in-JVM local mode: AQE re-planning in iteration loops is pure
+      // driver latency (see Iterate.loop) — measured 1.4-1.5x on the
+      // iterative lanes; separate-JVM clusters keep AQE (default)
+      .config("spark.graft.loop.aqe", "off")
       .config("spark.sql.session.timeZone", "UTC")
       // the array-kernel lanes broadcast a 16-33 MB incompressible packed
       // state per iteration: lz4 would add ~40 ms/iter for a ~0% ratio
