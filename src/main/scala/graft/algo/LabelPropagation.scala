@@ -36,14 +36,18 @@ object LabelPropagation {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nLinks = links.count()
 
+    // labels as LONG end to end (no double-typed join keys — the CC r03
+    // finding applies here identically)
     val vertices = spark.range(nVertices).toDF("id")
-    val init = vertices.select(col("id"), col("id").cast("double").as("x"))
+    val init = vertices.select(col("id"), col("id").as("x"))
     val cfg = IterConfig(tol = 0.5, maxIter = maxIter)
 
     val loop = Iterate.loop(init, cfg, nLinks, "sync-lp") { (state, _) =>
-      // histogram of neighbor labels per vertex, gathered at src
+      // histogram of neighbor labels per vertex, gathered at src. SHJ hint:
+      // links are cached pinned on dst; hash-build the O(V) state side
+      // instead of sort-merging (re-sorting) the O(E) links every round.
       val hist = links
-        .join(state.withColumnRenamed("id", "dst"), "dst")
+        .join(state.withColumnRenamed("id", "dst").hint("shuffle_hash"), "dst")
         .groupBy(col("src"), col("x").as("nbr_label"))
         .agg(count(lit(1)).as("cnt"))
       // argmax by (count desc, label asc): max of struct(cnt, -label)
@@ -51,12 +55,14 @@ object LabelPropagation {
         .groupBy("src")
         .agg(max(struct(col("cnt"), (-col("nbr_label")).as("neg"))).as("m"))
         .select(col("src").as("id"), (-col("m.neg")).as("new_label"))
-      state.join(winner, Seq("id"), "left")
+      // left join (NOT a self-loop in links: a self-loop would add v's own
+      // label to the neighbor histogram and change LP semantics)
+      state.join(winner.hint("shuffle_hash"), Seq("id"), "left")
         .select(col("id"), coalesce(col("new_label"), col("x")).as("x"))
     }
     links.unpersist()
     Result(
-      loop.state.select(col("id"), col("x").cast("long").as("label")),
+      loop.state.select(col("id"), col("x").as("label")),
       loop.metrics)
   }
 }

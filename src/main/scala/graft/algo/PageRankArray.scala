@@ -36,9 +36,11 @@ import graft.model.IterationMetrics
   *      partial convergence delta against the old state, and returns a
   *      byte-packed slice of the NEXT state (≤ V/P values, under the 1 MB
   *      direct-task-result fast path at bench shapes);
-  *   3. the driver scatters the slices (disjoint dst ranges — the blocks
-  *      are range-partitioned — so the scatter runs in parallel) and folds
-  *      in the delta contributions of in-degree-0 vertices.
+  *   3. the driver scatters the slices (disjoint dst SETS: dsts are hash-
+  *      partitioned across Spark partitions and chunks close at dst
+  *      boundaries within a partition, so every dst lives in exactly one
+  *      block — the scatter runs in parallel) and folds in the delta
+  *      contributions of in-degree-0 vertices.
   * Driver work per iteration is two O(V) memcpys + an O(V/P)-parallel
   * scatter; everything O(E) and every reduction is executor-side.
   *
@@ -69,26 +71,30 @@ object PageRankArray {
       colVal: Array[Double],
       colValF: Array[Float])
 
-  // ---- native-order byte packing (bulk copies, serializer-independent) ----
+  // ---- byte packing (bulk copies, serializer-independent). Pinned
+  // LITTLE_ENDIAN, not nativeOrder: the packed state crosses JVM boundaries
+  // (driver <-> executors), so the wire format must not depend on the
+  // architecture either end happens to run on. On x86/ARM64 LE == native,
+  // so the pin costs nothing on the hot path. ----
 
   private[graft] def packD(x: Array[Double]): Array[Byte] = {
     val b = new Array[Byte](x.length * 8)
-    ByteBuffer.wrap(b).order(ByteOrder.nativeOrder()).asDoubleBuffer().put(x)
+    ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).asDoubleBuffer().put(x)
     b
   }
   private[graft] def unpackD(b: Array[Byte]): Array[Double] = {
     val x = new Array[Double](b.length / 8)
-    ByteBuffer.wrap(b).order(ByteOrder.nativeOrder()).asDoubleBuffer().get(x)
+    ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).asDoubleBuffer().get(x)
     x
   }
   private[graft] def packF(x: Array[Float]): Array[Byte] = {
     val b = new Array[Byte](x.length * 4)
-    ByteBuffer.wrap(b).order(ByteOrder.nativeOrder()).asFloatBuffer().put(x)
+    ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).asFloatBuffer().put(x)
     b
   }
   private[graft] def unpackF(b: Array[Byte]): Array[Float] = {
     val x = new Array[Float](b.length / 4)
-    ByteBuffer.wrap(b).order(ByteOrder.nativeOrder()).asFloatBuffer().get(x)
+    ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).asFloatBuffer().get(x)
     x
   }
 
@@ -133,9 +139,14 @@ object PageRankArray {
     //   - larger V: shuffle_hash — the weight side builds the hash table;
     //     default SMJ would SORT the O(E) edge side just to normalize it
     //     (measured in the 403M-edge build wall).
+    // persisted at its O(V) aggregate output: outW is consumed TWICE (the
+    // normalize-join build side and the dangling-set collect below) — without
+    // the persist each consumer re-runs the O(E) aggregation scan, two of
+    // the four full edge passes in the r03 157 s build wall.
     val outW = edges.groupBy("src").agg(
       (if (weighted) sum("w") else count(lit(1)).cast("double")).as("wtot"))
       .filter(col("wtot") > 0) // wtot<=0 -> dangling, not NaN (see PageRank)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val outWSide =
       if (nVertices <= (8L << 20)) broadcast(outW) else outW.hint("shuffle_hash")
     val normBase = edges.join(outWSide, "src")
@@ -223,7 +234,11 @@ object PageRankArray {
     // static per-partition dst ids, collected ONCE (collect preserves
     // partition order, so slice i below always pairs with dstsByPart(i))
     val dstsByPart: Array[Array[Long]] = blocks.map(_.dsts).collect()
-    val nEdges = edges.count()
+    // edge count off the CACHED blocks (an O(P) job), not edges.count():
+    // that was a third full pass over the un-materialized edge source.
+    // Counts normalized edges (out-edges of wtot>0 srcs) — exactly the
+    // edges each iteration processes, which is what the metric divides by.
+    val nEdges = blocks.map(_.colInd.length.toLong).fold(0L)(_ + _)
 
     // dangling vertices (no positive-weight out-edge): their mass re-enters
     // uniformly each iteration. Precomputed as a flat id array so the
@@ -232,6 +247,7 @@ object PageRankArray {
     // outW IS the non-dangling set (positive out-weight per src): O(V) rows
     // from a map-side-combined aggregate — not an O(E) distinct shuffle
     outW.select("src").as[Long].collect().foreach(s => hasOut.set(s.toInt))
+    outW.unpersist()
     val danglingIds: Array[Int] = {
       val b = scala.collection.mutable.ArrayBuffer.empty[Int]
       var v = 0
@@ -312,11 +328,12 @@ object PageRankArray {
       bc.destroy()
       java.util.Arrays.fill(next, base)
       val nx = next
-      // disjoint dst ranges per partition (range-partitioned) -> parallel
+      // every dst lives in exactly ONE block (hash repartition on dst +
+      // chunks closed at dst boundaries) -> blocks write disjoint index
+      // sets and the scatter is a racefree parallel plain assign
       java.util.stream.IntStream.range(0, slices.length).parallel().forEach { pi =>
         val ids = dstsByPart(pi); val vs = unpackD(slices(pi)._1)
         var i = 0
-        // each dst exists in exactly one partition (groupBy dst) -> assign
         while (i < ids.length) { nx(ids(i).toInt) = vs(i); i += 1 }
       }
       delta = if (l1) slices.map(_._2).sum else slices.foldLeft(0.0)((a, s) => math.max(a, s._2))
@@ -385,6 +402,7 @@ object PageRankArray {
       bc.destroy()
       java.util.Arrays.fill(next, base)
       val nx = next
+      // disjoint per-block dst sets (see iterateD) -> parallel plain assign
       java.util.stream.IntStream.range(0, slices.length).parallel().forEach { pi =>
         val ids = dstsByPart(pi); val vs = unpackF(slices(pi)._1)
         var i = 0
@@ -414,10 +432,19 @@ object PageRankArray {
     x
   }
 
+  /** Result handoff WITHOUT driver-side boxing: the old
+    * `parallelize(x.zipWithIndex)` allocated O(V) Tuple2 + boxed Double on
+    * the driver heap — a memory spike at the kernel's ~10^8-vertex ceiling
+    * (VERDICT r03 "What's wrong #3"). Here the state ships once as the
+    * already-packed byte[] (torrent broadcast), and each `range` partition
+    * reads its values straight out of the buffer — O(V/P) rows per task,
+    * zero driver-side per-vertex allocation. */
   private def stateDf(spark: SparkSession, x: Array[Double]): DataFrame = {
     import spark.implicits._
-    spark.sparkContext.parallelize(x.toIndexedSeq.zipWithIndex
-      .map { case (v, i) => (i.toLong, v) })
-      .toDF("id", "x")
+    val bc = spark.sparkContext.broadcast(packD(x))
+    spark.range(x.length.toLong).as[Long].mapPartitions { it =>
+      val bb = ByteBuffer.wrap(bc.value).order(ByteOrder.LITTLE_ENDIAN)
+      it.map(i => (i, bb.getDouble(8 * i.toInt)))
+    }.toDF("id", "x")
   }
 }

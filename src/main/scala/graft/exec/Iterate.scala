@@ -40,13 +40,16 @@ final case class LoopResult(state: DataFrame, metrics: Seq[IterationMetrics])
 
 object Iterate {
 
-  /** Distance between two (id, x) states: "linf" max-delta or "l1" sum. */
+  /** Distance between two (id, x) states: "linf" max-delta or "l1" sum.
+    * Works for both double states (PageRank) and long label states (CC/LP):
+    * the aggregate is cast to double AFTER the sum/max, so long states keep
+    * exact integer arithmetic inside the aggregation. */
   def dist(oldState: DataFrame, newState: DataFrame,
       norm: String = "linf"): Double = {
     val d = abs(col("x") - col("x_old"))
     val row = oldState.select(col("id"), col("x").as("x_old"))
-      .join(newState, "id")
-      .agg((if (norm == "l1") sum(d) else max(d)).as("d"))
+      .join(newState.hint("shuffle_hash"), "id")
+      .agg((if (norm == "l1") sum(d) else max(d)).cast("double").as("d"))
       .head()
     if (row.isNullAt(0)) 0.0 else row.getDouble(0)
   }

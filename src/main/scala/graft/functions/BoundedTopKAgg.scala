@@ -4,7 +4,7 @@ import java.nio.{ByteBuffer, ByteOrder}
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -32,9 +32,15 @@ case class BoundedTopK(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[BoundedTopK.Heap] with BinaryLike[Expression] {
+  extends TypedImperativeAggregate[BoundedTopK.Heap]
+  with BinaryLike[Expression] with ImplicitCastInputTypes {
 
   require(k >= 1, s"bounded_top_k needs k >= 1, got $k")
+
+  // Analyzer-enforced: callers with int/float score or int id columns get a
+  // coercion (or an analysis error), never an executor-side ClassCastException.
+  override def inputTypes: Seq[org.apache.spark.sql.graft.bridge.AbstractDataType] =
+    Seq(DoubleType, LongType)
 
   override def left: Expression = score
   override def right: Expression = id
@@ -48,8 +54,13 @@ case class BoundedTopK(
   override def update(b: BoundedTopK.Heap, input: InternalRow): BoundedTopK.Heap = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null)
-      b.offer(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    // NaN scores are dropped here: NaN breaks the heap's strict-ordering
+    // invariant (every comparison is false), so a NaN at the root would
+    // permanently block eviction and silently return first-k instead of top-k.
+    if (s != null && i != null) {
+      val sd = s.asInstanceOf[Double]
+      if (!java.lang.Double.isNaN(sd)) b.offer(sd, i.asInstanceOf[Long])
+    }
     b
   }
 
@@ -67,7 +78,9 @@ case class BoundedTopK(
   }
 
   override def serialize(b: BoundedTopK.Heap): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + b.n * 16).order(ByteOrder.nativeOrder())
+    // Pinned little-endian: partial-agg buffers cross executor boundaries in a
+    // distributed run, so the wire format must be architecture-independent.
+    val bb = ByteBuffer.allocate(4 + b.n * 16).order(ByteOrder.LITTLE_ENDIAN)
     bb.putInt(b.n)
     var i = 0
     while (i < b.n) { bb.putDouble(b.scores(i)); bb.putLong(b.ids(i)); i += 1 }
@@ -75,7 +88,7 @@ case class BoundedTopK(
   }
 
   override def deserialize(bytes: Array[Byte]): BoundedTopK.Heap = {
-    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.nativeOrder())
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val n = bb.getInt
     val h = new BoundedTopK.Heap(k)
     var i = 0
@@ -107,9 +120,13 @@ object BoundedTopK {
     val ids = new Array[Long](k)
     var n = 0
 
-    // a is worse than b (a sits closer to the root)
-    private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
-      sa < sb || (sa == sb && ia > ib)
+    // a is worse than b (a sits closer to the root). java.lang.Double.compare
+    // gives a TOTAL order (NaN > +Inf, -0.0 < 0.0), so the heap invariant
+    // holds even if a NaN ever reaches the heap via merge of old buffers.
+    private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
+      val c = java.lang.Double.compare(sa, sb)
+      c < 0 || (c == 0 && ia > ib)
+    }
 
     def offer(s: Double, i: Long): Unit =
       if (n < k) {

@@ -140,12 +140,15 @@ object Ann {
           hyperplaneSigOffset(emb, bits, t * bits)): _*)))
       .select(col("vec_id"), col("e"), col("pos").as("table"), col("col").as("sig"))
       .persist() // self-joined below: avoid recomputing hyperplane sigs per side
-    sigs.as("l").join(sigs.as("r"),
+    val pairs = sigs.as("l").join(sigs.as("r"),
         col("l.table") === col("r.table") && col("l.sig") === col("r.sig") &&
           col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"),
         cosine(col("l.e"), col("r.e")).as("cosine"))
       .groupBy("a", "b").agg(first("cosine").as("cosine"))
       .filter(col("cosine") >= threshold)
+    // result comes back persisted + computed; internal sig cache released
+    // (same caller-owns-the-result contract as Dedup's pair operators)
+    Dedup.materializeAndRelease(pairs, Seq(sigs))
   }
 }

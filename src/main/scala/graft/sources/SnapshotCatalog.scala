@@ -22,6 +22,14 @@ import java.nio.charset.StandardCharsets
   * (text file holding the committed snapshot id) + per-snapshot manifest
   * JSON (row count, schema, parent id) for lineage.
   */
+object SnapshotCatalog {
+  // JVM-global per-table lock objects keyed by absolute table dir; needed
+  // because OS file locks are held per-process, not per-thread.
+  private val monitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[sources] def tableMonitor(key: String): Object =
+    monitors.computeIfAbsent(key, _ => new Object)
+}
+
 final class SnapshotCatalog(root: String) {
 
   private def tableDir(table: String) = Paths.get(root, table)
@@ -63,21 +71,26 @@ final class SnapshotCatalog(root: String) {
     // and the monotonicity CHECK and the move are one atomic unit under an
     // exclusive cross-process file lock: a bare check-then-move lets a
     // concurrent higher commit swap between the two and then be rolled
-    // backwards by this writer.
-    val lockCh = java.nio.channels.FileChannel.open(dir.resolve(".current.lock"),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.WRITE)
-    try {
-      val lock = lockCh.lock()
+    // backwards by this writer. FileChannel.lock is PER-PROCESS (a second
+    // thread of the same JVM gets OverlappingFileLockException, not a wait),
+    // so in-process writers first serialize on a JVM-global per-table
+    // monitor, then the survivor takes the OS lock against other processes.
+    SnapshotCatalog.tableMonitor(dir.toAbsolutePath.toString).synchronized {
+      val lockCh = java.nio.channels.FileChannel.open(dir.resolve(".current.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
       try {
-        if (!currentSnapshot(table).exists(_ > id)) {
-          val tmp = dir.resolve(s".current.tmp.$id")
-          Files.write(tmp, id.toString.getBytes(StandardCharsets.UTF_8))
-          Files.move(tmp, currentFile(table),
-            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-        }
-      } finally lock.release()
-    } finally lockCh.close()
+        val lock = lockCh.lock()
+        try {
+          if (!currentSnapshot(table).exists(_ > id)) {
+            val tmp = dir.resolve(s".current.tmp.$id")
+            Files.write(tmp, id.toString.getBytes(StandardCharsets.UTF_8))
+            Files.move(tmp, currentFile(table),
+              StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+          }
+        } finally lock.release()
+      } finally lockCh.close()
+    }
     id
   }
 

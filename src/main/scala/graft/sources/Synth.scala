@@ -35,8 +35,12 @@ object Synth {
     * Exactly `l` out-edges per vertex, no dangling vertices, may include
     * self-loops (matches `/root/reference/perf_compare/perf_compare.cpp:396-417`). */
   def band(spark: SparkSession, n: Long, l: Int): DataFrame = {
-    spark.range(n).toDF("src")
-      .select(col("src"), explode(sequence(lit(0), lit(l - 1))).as("j"))
+    // flat range + integer div/mod, NOT explode(sequence(...)): sequence
+    // allocates an l-element ArrayData per source vertex and explode walks
+    // it — measurable allocation churn at 10^8+ edges, while this form is
+    // pure whole-stage-codegen arithmetic (same rows, order irrelevant)
+    spark.range(n * l)
+      .select(expr(s"id div $l").as("src"), (col("id") % l).as("j"))
       .select(
         col("src"),
         (greatest(col("src") - l, lit(0L)) + col("j")).as("dst"))

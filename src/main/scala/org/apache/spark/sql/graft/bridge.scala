@@ -17,6 +17,11 @@ object bridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
+  /** Public alias for the private[sql] supertype of DataType used by
+    * `ExpectsInputTypes.inputTypes` — needed so custom expressions outside
+    * org.apache.spark.sql can declare analyzer-checked input types. */
+  type AbstractDataType = org.apache.spark.sql.types.AbstractDataType
+
   /** Register a function builder on an existing session's registry
     * (sessionState is private[sql]; new sessions should use
     * spark.sql.extensions with graft.GraftExtensions instead). */
