@@ -87,7 +87,7 @@ object Bench {
         ("pagerank_220_array_build_sec" -> (wall - iterSec)) +
         ("pagerank_220_array_iterate_sec" -> iterSec)
     },
-    "pagerank_222_arrayf32_10it" -> { s =>
+    "pagerank_222_arrayf32_25it" -> { s =>
       // THE like-for-like baseline lane: float kernel (the reference's own
       // precision), V=2^22 x deg 96 (403M edges — the r02-comparable shape;
       // the reference headline is V=2^17 x deg ~131: same degree regime, V
@@ -95,18 +95,18 @@ object Bench {
       // reference amortizes 10 in-process calls per sample). Per-iteration
       // edges/sec here is the BASELINE.md comparison number; one-time CSR
       // build split out. Float CSR = 8 B/edge = 3.2 GB cached: fits the
-      // 8 GB bench JVM with the chunked block build.
-      // 25 measured iterations: this box sees multi-minute external
-      // interference waves; min-iteration over a longer steady sequence
-      // reliably samples a quiet window (measured spread: 62-194 ms for
-      // the same code across waves), at ~2 s against a ~190 s build.
+      // bench JVM with the chunked block build.
+      // 25 measured iterations (the lane name carries the count): this box
+      // sees multi-minute external interference waves; min-iteration over a
+      // longer steady sequence reliably samples a quiet window (measured
+      // spread: 62-194 ms for the same code across waves).
       val t0 = System.nanoTime()
       val r = graft.algo.PageRankArray.run(s, Synth.band(s, 1L << 22, 96),
         1L << 22, cfg = IterConfig(tol = 0.0, maxIter = 25),
         floatPrecision = true)
       val wall = (System.nanoTime() - t0) / 1e9
       val iterSec = r.metrics.map(_.seconds).sum
-      iterExtras("pagerank_222_arrayf32_10it", r.metrics) +
+      iterExtras("pagerank_222_arrayf32_25it", r.metrics) +
         ("pagerank_222_arrayf32_build_sec" -> (wall - iterSec)) +
         ("pagerank_222_arrayf32_iterate_sec" -> iterSec)
     },
@@ -242,12 +242,16 @@ object Bench {
     * within-run iteration samples): whole-lane repeats add build time, not
     * statistical power, so they are capped below the adaptive ceiling. */
   private val laneCap: Map[String, Int] = Map(
-    "pagerank_222_arrayf32_10it" -> 1,
-    "mtx_spmv_skew" -> 2,
-    "pagerank_220_shuffle_5it" -> 3,
-    "pagerank_220_convergence" -> 3,
-    "cc_blocks_1m" -> 3,
-    "dedup_minhash_sf" -> 3)
+    "pagerank_222_arrayf32_25it" -> 1,
+    // noisy lanes EARN repeats: r03's mtx_spmv_skew (CI ±66 on mean 12.5)
+    // and dedup_minhash_sf (±21) were capped before the adaptive t-criterion
+    // could converge — caps raised so relCi < 0.15 can actually stop the
+    // loop on a quiet box (VERDICT r03 #8)
+    "mtx_spmv_skew" -> 5,
+    "pagerank_220_shuffle_5it" -> 4,
+    "pagerank_220_convergence" -> 5,
+    "cc_blocks_1m" -> 4,
+    "dedup_minhash_sf" -> 5)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -256,6 +260,17 @@ object Bench {
     val maxRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXRUNS", "10").toInt
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
     val spark = session(cpus)
+    // cache-warm discard (VERDICT r03 #8): pay the one-time fixture write
+    // (mtx lane) and the parquet footer/OS-page-cache fill for the sf tables
+    // OUTSIDE any timed lane, so run 1 of the first lanes isn't charged for
+    // them and the adaptive CI criterion converges faster.
+    locally {
+      val _ = skewMtxFile
+      Seq("documents", "embeddings").foreach { t =>
+        try spark.read.parquet(s"$sfDir/$t.parquet").foreach(_ => ())
+        catch { case _: Throwable => () }
+      }
+    }
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val stats = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val extra = scala.collection.mutable.LinkedHashMap.empty[String, Double]

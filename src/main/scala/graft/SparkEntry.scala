@@ -32,6 +32,7 @@ object SparkEntry {
   private val TRI_N = 512L; private val TRI_L = 6
   private val PAGES_N = 256L; private val PAGES_L = 6
   private val SKEW_N = 3000L
+  private val SCAT_N = 4096L; private val SCAT_L = 16
 
   private def t(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
@@ -59,6 +60,16 @@ object SparkEntry {
        |  SELECT i AS src, (CASE WHEN i >= $l THEN i - $l ELSE 0 END) + j AS dst,
        |         (((i*31 + ((CASE WHEN i >= $l THEN i - $l ELSE 0 END)+j)*17) % 1000) + 1) / 1000.0 AS w
        |  FROM range(0, $n) t(i), range(0, $l) u(j))""".stripMargin
+
+  /** Scatter edge CTE — mirrors Synth.scatter (reference S4/S5 analog:
+    * l random-distinct targets per vertex). */
+  private def sqlScatter(n: Long, l: Int): String =
+    s"""edges AS (
+       |  SELECT src, dst, (((src*31 + dst*17) % 1000) + 1) / 1000.0 AS w
+       |  FROM (SELECT i AS src,
+       |               ((i*2654435761) % $n +
+       |                j * (((i*40503 + 7) % ${n / 2}) * 2 + 1)) % $n AS dst
+       |        FROM range(0, $n) t(i), range(0, $l) u(j)))""".stripMargin
 
   /** Skew edge CTE — mirrors Synth.skew. */
   private def sqlSkew(n: Long): String =
@@ -182,6 +193,17 @@ object SparkEntry {
     // --- S3: density-parameterized generator (deterministic analog) ---
     "graph_random_edges" -> ((s, _) =>
       Synth.randomDensity(s, 1024, 0.01).orderBy("src", "dst")),
+
+    // --- S4/S5: const-degree random-distinct-target generator ---
+    "graph_scatter_edges" -> ((s, _) =>
+      Synth.scatter(s, SCAT_N, SCAT_L).orderBy("src", "dst")),
+
+    // --- SpMV over the scatter graph: the gather reads x at l scattered
+    // positions per row (the locality regime the band graph understresses) ---
+    "graph_spmv_scatter" -> ((s, _) =>
+      SpMV(Synth.scatter(s, SCAT_N, SCAT_L), Synth.state(s, SCAT_N),
+          None, GatherStrategy.BroadcastState)
+        .select(col("id"), round(col("x"), 6).as("flow")).orderBy("id")),
 
     // --- C2: transpose ---
     "graph_transpose" -> ((s, _) =>
@@ -469,6 +491,15 @@ object SparkEntry {
         |  FROM range(0, 10485) t(k))
         |SELECT src, dst, (((src*31 + dst*17) % 1000) + 1) / 1000.0 AS w
         |FROM pairs ORDER BY src, dst""".stripMargin,
+
+    "graph_scatter_edges" ->
+      s"WITH ${sqlScatter(SCAT_N, SCAT_L)} SELECT src, dst, w FROM edges ORDER BY src, dst",
+
+    "graph_spmv_scatter" ->
+      s"""WITH ${sqlScatter(SCAT_N, SCAT_L)}
+         |SELECT src AS id,
+         |       round(sum(w * (((dst*13) % 1000) + 1) / 1000.0), 6) AS flow
+         |FROM edges GROUP BY src ORDER BY id""".stripMargin,
 
     "graph_adjacency" ->
       s"""WITH ${sqlBand(BAND_N, BAND_L)}

