@@ -110,6 +110,30 @@ object Bench {
         ("pagerank_222_arrayf32_build_sec" -> (wall - iterSec)) +
         ("pagerank_222_arrayf32_iterate_sec" -> iterSec)
     },
+    "spmv_scatter_220" -> { s =>
+      // gather-locality lane: the scatter graph (reference S4/S5 exact
+      // semantics) reads x at l RANDOM positions per row — the cache-hostile
+      // regime the banded graph understresses. Same shape as spmv_217 but
+      // bigger V so locality effects dominate the job floor.
+      SpMV(Synth.scatter(s, 1L << 20, 16), Synth.state(s, 1L << 20),
+        None, GatherStrategy.BroadcastState).agg(sum("x")).head()
+      Map.empty
+    },
+    "graphx_pagerank_220_10it" -> { s =>
+      // LIVE vendor-baseline lane (reference A3/K13: the harness calls MKL
+      // in-process as the independent baseline, graphCSR.hpp:397-409; GraphX
+      // is the vendor graph engine shipped on this classpath). Identical
+      // graph, iteration count, JVM and cores as pagerank_220_array_10it —
+      // the engine-vs-vendor delta is the lane's entire point, so the edge
+      // list is handed to GraphX in its native RDD form.
+      import org.apache.spark.graphx.{Edge => GXEdge, Graph => GXGraph}
+      import s.implicits._
+      val gxEdges = Synth.band(s, 1L << 20, 16)
+        .select("src", "dst").as[(Long, Long)].rdd
+        .map { case (a, b) => GXEdge(a, b, 1.0) }
+      GXGraph.fromEdges(gxEdges, 0.0).staticPageRank(10).vertices.count()
+      Map.empty
+    },
     "mtx_spmv_skew" -> { s =>
       // reference-compat format lane: a deterministic SuiteSparse-shaped
       // SKEWED matrix (64 dense rows of 1024 nnz + uniform deg-8 tail)
@@ -248,6 +272,7 @@ object Bench {
     // could converge — caps raised so relCi < 0.15 can actually stop the
     // loop on a quiet box (VERDICT r03 #8)
     "mtx_spmv_skew" -> 5,
+    "graphx_pagerank_220_10it" -> 2, // vendor lane: context, not a target
     "pagerank_220_shuffle_5it" -> 4,
     "pagerank_220_convergence" -> 5,
     "cc_blocks_1m" -> 4,

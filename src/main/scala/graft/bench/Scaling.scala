@@ -59,6 +59,7 @@ object Scaling {
       })
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    StageProf.attachIfEnabled(spark.sparkContext)
     try {
       // cold-run discard, generalized: the first iterations pay JIT +
       // codegen + cache-fill; steady state is iterations 4.. (reference
