@@ -165,6 +165,17 @@ object Bench {
       iterExtras("cc_blocks_1m", r.metrics, warmDrop = 0) +
         ("cc_blocks_1m_rounds" -> r.metrics.length.toDouble)
     },
+    "cc_array_1m" -> { s =>
+      // SAME graph and semantics as cc_blocks_1m on the broadcast-array
+      // (min-semiring) kernel: one zero-shuffle gather job per round +
+      // driver-side pointer compression — the engine-vs-shuffle-path delta
+      // is the lane's point (broadcast regime, V <= ~10^8)
+      val r = graft.algo.ConnectedComponentsArray.run(
+        s, Synth.blocks(s, 1L << 20, 64), 1L << 20, maxIter = 40)
+      r.labels.count()
+      iterExtras("cc_array_1m", r.metrics, warmDrop = 0) +
+        ("cc_array_1m_rounds" -> r.metrics.length.toDouble)
+    },
     "triangles_216" -> { s =>
       TriangleCount.countTriangles(s, Synth.band(s, 1L << 16, 8)); Map.empty
     },

@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.sources.{Mtx, Synth}
 import graft.extract.Extract
 import graft.graph.{AdjacencyBuilder, VertexDict}
-import graft.algo.{ConnectedComponents, LabelPropagation, PageRank, SpMV, TriangleCount}
+import graft.algo.{ConnectedComponents, ConnectedComponentsArray, LabelPropagation, PageRank, SpMV, TriangleCount}
 import graft.exec.{Gather, GatherStrategy, IterConfig}
 import graft.operators.{Ann, Dedup, TextAnalysis}
 
@@ -266,6 +266,11 @@ object SparkEntry {
     // --- north rule: connected components (closed-form block oracle) ---
     "cc_blocks" -> ((s, _) =>
       ConnectedComponents.run(s, Synth.blocks(s, CC_N, CC_B), CC_N)
+        .labels.orderBy("id")),
+
+    // --- same CC semantics on the broadcast-array (min-semiring) kernel ---
+    "cc_array" -> ((s, _) =>
+      ConnectedComponentsArray.run(s, Synth.blocks(s, CC_N, CC_B), CC_N)
         .labels.orderBy("id")),
 
     // --- north rule: label propagation (deterministic; no SQL oracle) ---
@@ -545,6 +550,9 @@ object SparkEntry {
     "pagerank_band" -> sqlPagerank(PR_N, PR_L, PR_ITERS, 0.85),
 
     "cc_blocks" ->
+      s"SELECT i AS id, (i // $CC_B) * $CC_B AS label FROM range(0, $CC_N) t(i) ORDER BY id",
+
+    "cc_array" ->
       s"SELECT i AS id, (i // $CC_B) * $CC_B AS label FROM range(0, $CC_N) t(i) ORDER BY id",
 
     "lp_blocks" -> sqlLabelProp(CC_N, CC_B, 5),
