@@ -37,8 +37,8 @@ import graft.model.IterationMetrics
   *      byte-packed slice of the NEXT state (≤ V/P values, under the 1 MB
   *      direct-task-result fast path at bench shapes);
   *   3. the driver scatters the slices (disjoint dst SETS: dsts are hash-
-  *      partitioned across Spark partitions and chunks close at dst
-  *      boundaries within a partition, so every dst lives in exactly one
+  *      partitioned across Spark partitions and each partition builds ONE
+  *      block, so every dst lives in exactly one
   *      block — the scatter runs in parallel) and folds in the delta
   *      contributions of in-degree-0 vertices.
   * Driver work per iteration is two O(V) memcpys + an O(V/P)-parallel
@@ -152,79 +152,124 @@ object PageRankArray {
     val normBase = edges.join(outWSide, "src")
       .select(col("src"), col("dst"),
         ((if (weighted) col("w") else lit(1.0)) / col("wtot")).as("p"))
-    // hash-partitioned + dst-sorted ROW STREAM -> CSR blocks: each dst lives
-    // in exactly ONE partition (hash) and its edges are contiguous (sort), so
-    // the slice scatter is a plain parallel assign; the per-partition dst-id
-    // arrays are STATIC (collected once, never re-shipped). Hash, not range:
+    // hash-partitioned ROW STREAM -> CSR blocks, grouped WITHOUT a sort:
+    // each dst lives in exactly ONE partition (hash repartition), so the
+    // slice scatter stays a plain parallel assign, and within the partition
+    // a two-pass histogram+scatter groups each dst's edges contiguously —
+    // sortWithinPartitions was 85-90% of the whole 403M-edge build wall
+    // (graft.bench.BuildProbe: repartition+drain 15.7 s vs +sort 148 s; a
+    // comparison sort + spill-merge does O(E log E) disk-touching work the
+    // CSR layout never needed, only GROUPING). Hash, not range:
     // repartitionByRange adds a whole sampling pass over the normalize join.
-    // Unlike a groupBy/collect_list build, the only heap-resident structures
-    // are the final primitive CSR arrays (~8 B/edge): the sort spills to
-    // shuffle storage, so the build fits any E the iteration itself can hold.
+    // Per-task transients are primitive column buffers (~12-16 B/edge,
+    // doubling growth) + the final CSR arrays — no per-edge objects, no
+    // sort scratch, no spill files; partition sizing (nParts /
+    // maxPartitionBytes) bounds them the same way it bounds the old sort.
     val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val sorted = normBase
+    val parted = normBase
       .repartition(nParts, col("dst"))
-      .sortWithinPartitions("dst")
       .select(col("dst"), col("src"), col("p"))
     val useFloat = floatPrecision
-    // CHUNKED blocks (≤ ~4M edges each, closed at dst boundaries): caps the
-    // per-task build transient at one chunk's arrays — 32 concurrent build
-    // tasks with doubling growth buffers were the measured OOM at 537M
-    // edges under an 8 GB driver JVM. A partition emits several consecutive
-    // blocks; a dst never spans two blocks, so the scatter stays an assign.
+    // expected distinct dsts per partition (map sizing hint; grows if skewed)
+    val expectRows = math.max(16, (nVertices / nParts).toInt)
     // queryExecution.toRdd (InternalRow), not .as[tuple].rdd: the typed path
     // allocates a Tuple3 + boxed fields PER EDGE — pure GC churn at 10^8+
     // edges; UnsafeRow field reads are allocation-free.
-    val chunkEdges = 4 << 20
-    val blocks = sorted.queryExecution.toRdd.mapPartitions { rows =>
-      // manual one-row lookahead: InternalRows are REUSED by the scan, so
-      // field values are copied into locals before advancing
-      var pDst = 0L; var pSrc = 0L; var pP = 0.0
-      var pending = false
-      def fetch(): Unit =
-        if (rows.hasNext) {
-          val r = rows.next()
-          pDst = r.getLong(0); pSrc = r.getLong(1); pP = r.getDouble(2)
-          pending = true
-        } else pending = false
-      fetch()
-      new Iterator[CsrBlock] {
-        def hasNext: Boolean = pending
-        def next(): CsrBlock = {
-          val dsts = new scala.collection.mutable.ArrayBuffer[Long](1 << 16)
-          val rowPtr = new scala.collection.mutable.ArrayBuffer[Int](1 << 16)
-          var colInd = new Array[Int](chunkEdges)
-          var colVal = new Array[Double](if (useFloat) 0 else chunkEdges)
-          var colValF = new Array[Float](if (useFloat) chunkEdges else 0)
-          var m = 0
-          var curDst = Long.MinValue
-          var open = false
-          rowPtr += 0
-          // keep consuming while under the cap OR still inside curDst's row
-          while (pending && (m < chunkEdges || pDst == curDst)) {
-            val dst = pDst; val src = pSrc; val p = pP
-            fetch()
-            if (!open || dst != curDst) { // sorted: dst change closes a row
-              if (open) rowPtr += m
-              dsts += dst
-              curDst = dst
-              open = true
-            }
-            if (m == colInd.length) { // single dst overflowing a chunk: grow
-              val cap = colInd.length * 2
-              colInd = java.util.Arrays.copyOf(colInd, cap)
-              if (useFloat) colValF = java.util.Arrays.copyOf(colValF, cap)
-              else colVal = java.util.Arrays.copyOf(colVal, cap)
-            }
-            colInd(m) = src.toInt
-            if (useFloat) colValF(m) = p.toFloat else colVal(m) = p
-            m += 1
-          }
-          if (open) rowPtr += m
-          CsrBlock(dsts.toArray, rowPtr.toArray,
-            java.util.Arrays.copyOf(colInd, m),
-            if (useFloat) Array.emptyDoubleArray else java.util.Arrays.copyOf(colVal, m),
-            if (useFloat) java.util.Arrays.copyOf(colValF, m) else Array.emptyFloatArray)
+    val blocks = parted.queryExecution.toRdd.mapPartitions { rows =>
+      if (!rows.hasNext) Iterator.empty
+      else {
+        // --- pass 1: drain into compact primitive columns; open-addressing
+        // dst -> dense row index (linear probing, fmix32, grow at 0.7 load).
+        // rowIdxA stores the ROW INDEX per edge so pass 2 never re-hashes.
+        var cap = Integer.highestOneBit(math.max(16, expectRows * 2) - 1) << 1
+        var keys = new Array[Int](cap); java.util.Arrays.fill(keys, -1)
+        var vals = new Array[Int](cap)
+        var nRows = 0
+        var dstsA = new Array[Int](math.max(16, expectRows))
+        var counts = new Array[Int](math.max(16, expectRows))
+        def fmix(h0: Int): Int = {
+          var h = h0
+          h ^= h >>> 16; h *= 0x85ebca6b; h ^= h >>> 13; h *= 0xc2b2ae35
+          h ^ (h >>> 16)
         }
+        def grow(): Unit = {
+          val nc = cap << 1
+          val nk = new Array[Int](nc); java.util.Arrays.fill(nk, -1)
+          val nv = new Array[Int](nc)
+          var i = 0
+          while (i < cap) {
+            val k = keys(i)
+            if (k >= 0) {
+              var j = fmix(k) & (nc - 1)
+              while (nk(j) >= 0) j = (j + 1) & (nc - 1)
+              nk(j) = k; nv(j) = vals(i)
+            }
+            i += 1
+          }
+          keys = nk; vals = nv; cap = nc
+        }
+        def rowIdx(dst: Int): Int = {
+          var j = fmix(dst) & (cap - 1)
+          while (true) {
+            val k = keys(j)
+            if (k == dst) return vals(j)
+            if (k < 0) {
+              if ((nRows + 1) * 10 > cap * 7) { grow(); return rowIdx(dst) }
+              keys(j) = dst; vals(j) = nRows
+              if (nRows == dstsA.length) {
+                dstsA = java.util.Arrays.copyOf(dstsA, nRows * 2)
+                counts = java.util.Arrays.copyOf(counts, nRows * 2)
+              }
+              dstsA(nRows) = dst; counts(nRows) = 0
+              nRows += 1
+              return nRows - 1
+            }
+            j = (j + 1) & (cap - 1)
+          }
+          -1 // unreachable
+        }
+        var bufCap = 1 << 20
+        var rowIdxA = new Array[Int](bufCap)
+        var srcA = new Array[Int](bufCap)
+        var pD = if (useFloat) Array.emptyDoubleArray else new Array[Double](bufCap)
+        var pF = if (useFloat) new Array[Float](bufCap) else Array.emptyFloatArray
+        var m = 0
+        while (rows.hasNext) {
+          val r = rows.next() // InternalRows are REUSED: copy fields now
+          if (m == bufCap) {
+            bufCap <<= 1
+            rowIdxA = java.util.Arrays.copyOf(rowIdxA, bufCap)
+            srcA = java.util.Arrays.copyOf(srcA, bufCap)
+            if (useFloat) pF = java.util.Arrays.copyOf(pF, bufCap)
+            else pD = java.util.Arrays.copyOf(pD, bufCap)
+          }
+          val ri = rowIdx(r.getLong(0).toInt)
+          rowIdxA(m) = ri
+          counts(ri) += 1
+          srcA(m) = r.getLong(1).toInt
+          if (useFloat) pF(m) = r.getDouble(2).toFloat else pD(m) = r.getDouble(2)
+          m += 1
+        }
+        keys = null; vals = null // map done; free before allocating CSR
+        // --- rowPtr = prefix sum; cursors advance as pass 2 scatters
+        val rowPtr = new Array[Int](nRows + 1)
+        var i = 0
+        while (i < nRows) { rowPtr(i + 1) = rowPtr(i) + counts(i); i += 1 }
+        val cur = java.util.Arrays.copyOf(rowPtr, nRows)
+        val colInd = new Array[Int](m)
+        val colVal = if (useFloat) Array.emptyDoubleArray else new Array[Double](m)
+        val colValF = if (useFloat) new Array[Float](m) else Array.emptyFloatArray
+        i = 0
+        while (i < m) {
+          val ri = rowIdxA(i); val pos = cur(ri); cur(ri) = pos + 1
+          colInd(pos) = srcA(i)
+          if (useFloat) colValF(pos) = pF(i) else colVal(pos) = pD(i)
+          i += 1
+        }
+        val dsts = new Array[Long](nRows)
+        i = 0
+        while (i < nRows) { dsts(i) = dstsA(i).toLong; i += 1 }
+        Iterator.single(CsrBlock(dsts, rowPtr, colInd, colVal, colValF))
       }
     }.persist(StorageLevel.MEMORY_ONLY)
     // truncate lineage: without this every per-iteration job re-serializes
@@ -328,8 +373,8 @@ object PageRankArray {
       bc.destroy()
       java.util.Arrays.fill(next, base)
       val nx = next
-      // every dst lives in exactly ONE block (hash repartition on dst +
-      // chunks closed at dst boundaries) -> blocks write disjoint index
+      // every dst lives in exactly ONE block (hash repartition on dst,
+      // one block per partition) -> blocks write disjoint index
       // sets and the scatter is a racefree parallel plain assign
       java.util.stream.IntStream.range(0, slices.length).parallel().forEach { pi =>
         val ids = dstsByPart(pi); val vs = unpackD(slices(pi)._1)
