@@ -3,36 +3,44 @@ package graft.algo
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
-import graft.exec.{IterConfig, Iterate}
+import graft.exec.{IterConfig, Iterate, TaskMetricsCollector}
 import graft.graph.AdjacencyBuilder
+import graft.model.IterationMetrics
 
-/** Connected components by min-label propagation WITH pointer jumping over
-  * the symmetrized link set (undirected semantics — the reference's symmetric
-  * .mtx expansion, `/root/reference/lib/MMIO/mmio_cpp.h:40-48`, is the same
-  * move). Component label = smallest vertex id in the component; exact-match
-  * requirement per the north rule.
+/** Connected components, two-phase (undirected semantics — the reference's
+  * symmetric .mtx expansion, `/root/reference/lib/MMIO/mmio_cpp.h:40-48`, is
+  * the same move). Component label = smallest vertex id in the component;
+  * exact-match requirement per the north rule.
   *
-  * Each round:
-  *   propagate: label'[v] = min over {v} ∪ neighbors(v) of label[·]
-  *   shortcut : label''[v] = label'[label'[v]]   (twice)
-  * Plain propagation needs diameter rounds — fatal on high-diameter graphs
-  * (a 10^4-long chain = 10^4 shuffles). The Shiloach-Vishkin-style shortcut
-  * join (labels are vertex ids, so the label table can be joined with
-  * itself) collapses chains geometrically: O(log d) rounds, each costing one
-  * O(E) edge join plus two O(V) self-joins. Labels are monotone
-  * non-increasing, so the fixpoint is exactly the min-id labeling.
+  * Phase 1 — partition-local contraction (the 100 TB move): edges are
+  * range-partitioned by src (locality-preserving: web graphs keyed by
+  * url/host, and the bench's chain blocks, keep most neighborhoods inside
+  * one partition) and each partition runs an in-memory union-find over its
+  * edge slice — union-by-min, path-compressed, O(alpha) per edge, memory
+  * bounded by distinct vertices per partition (~2.edges/P worst case; size
+  * partitions accordingly at scale). Union-find is direction-agnostic, so
+  * the input needs NO symmetrize/distinct pass — the only data movement in
+  * this phase is the one range exchange of the raw (src,dst) pairs. Each
+  * partition emits (vertex, localMinRoot): the full O(E) edge set is
+  * consumed ONCE and never shuffled again.
   *
-  * Per-round physical plan (VERDICT r03 "What's wrong #2" rework):
-  *   - labels are LongType end to end — the join/aggregate keys are longs,
-  *     never a double-typed column;
-  *   - a self-loop per vertex is appended to the cached link set, so the
-  *     propagate aggregation covers EVERY vertex and min(own, neighbors)
-  *     falls out of one groupBy — the old per-round O(V) completion
-  *     left-join is gone (same move as PageRank.run's zero self-edges);
+  * Phase 2 — pointer-jump min-propagation on the CONTRACTED graph: local
+  * roots that share a vertex (a vertex seen by several partitions) must
+  * merge, so the contracted edge set is the per-vertex star
+  * {minRoot(v) -> root} from the mapping — at most (partitions spanned - 1)
+  * edges per vertex, and near zero when partitioning has locality. The
+  * existing O(log d)-round propagate+shortcut loop (below) runs on that
+  * small graph. Worst case (adversarial partitioning, zero locality) the
+  * contracted graph degenerates toward the original and phase 2 IS the old
+  * single-phase algorithm — graceful degradation, never wrong.
+  *
+  * Per-round phase-2 physical plan (VERDICT r03 "What's wrong #2" rework):
+  *   - labels are LongType end to end;
+  *   - a self-loop per vertex makes min(own, neighbors) fall out of one
+  *     groupBy (no per-round completion join);
   *   - every per-round join is `shuffle_hash`-hinted: sort-merge would
-  *     re-SORT the O(E) cached links every round (the measured Gather
-  *     finding); SHJ streams the cached links against an O(V) hash build,
-  *     and with links pinned repartition(n, dst) only the state moves.
+  *     re-SORT the cached links every round; SHJ streams the cached links
+  *     against an O(V) hash build.
   */
 object ConnectedComponents {
 
@@ -45,22 +53,108 @@ object ConnectedComponents {
       edges: DataFrame,
       nVertices: Long,
       cfg: IterConfig = IterConfig(tol = 0.5, maxIter = 200)): Result = {
+    import spark.implicits._
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
+    // ---- phase 1: range partition + per-partition union-find ----
+    val sc = spark.sparkContext
+    val collector = TaskMetricsCollector.attach(sc)
+    val snap0 = collector.snapshot()
+    val t0 = System.nanoTime()
+    val edgeCount = sc.longAccumulator("graft.cc.edges")
+    val mapping = edges.select(col("src"), col("dst"))
+      .repartitionByRange(nParts, col("src"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(a: Long): Long = {
+          var r = a
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = a
+          while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        var nE = 0L
+        it.foreach { case (s, d) =>
+          if (!parent.containsKey(s)) parent.put(s, s)
+          if (!parent.containsKey(d)) parent.put(d, d)
+          val rs = find(s); val rd = find(d)
+          // union-by-min: the surviving root is the smaller id, so find(v)
+          // is exactly the min id of v's partition-local component
+          if (rs < rd) parent.put(rd, rs)
+          else if (rd < rs) parent.put(rs, rd)
+          nE += 1
+        }
+        edgeCount.add(nE)
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+        val ks = parent.keySet().iterator()
+        while (ks.hasNext) { val v = ks.next(); out += ((v, find(v))) }
+        out.iterator
+      }.toDF("id", "root")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    mapping.count() // materialize phase 1
+    // per-vertex: min root + every root this vertex was seen under
+    val g = mapping.groupBy("id")
+      .agg(min("root").as("root"), collect_set("root").as("rs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    g.count()
+    val phase1Secs = (System.nanoTime() - t0) / 1e9
+    val nEdges = edgeCount.value.longValue()
+    collector.stabilize()
+    val d0 = collector.snapshot() - snap0
+    TaskMetricsCollector.detach(sc, collector)
+    val phase1Metric = IterationMetrics(0, nEdges, phase1Secs,
+      if (phase1Secs > 0) nEdges / phase1Secs else 0.0, Double.NaN,
+      "local-contract", shuffleReadBytes = d0.shuffleRead,
+      shuffleWriteBytes = d0.shuffleWrite, taskSkew = d0.skew)
+
+    // ---- phase 2: pointer-jump CC over the contracted root graph ----
+    // star edges minRoot(v) -> each other root of v (empty when one
+    // partition saw the whole component — the common case with locality)
+    val contracted = g.select(col("root").as("src"), explode(col("rs")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val roots = g.select(explode(col("rs")).as("id")).distinct()
+    val loop = pointerJump(spark, contracted, roots, cfg)
+
+    // ---- stitch: vertex -> phase-2 label of its min root ----
+    val rootLabels = loop.state.select(col("id").as("root"), col("x"))
+    val vLab = g.join(broadcast(rootLabels), "root").select(col("id"), col("x"))
+    val labels = spark.range(nVertices).toDF("id")
+      .join(vLab.hint("shuffle_hash"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("x"), col("id")).as("label"))
+    mapping.unpersist() // g is materialized; mapping no longer needed
+    // g stays persisted deliberately: it IS the O(V) backbone of the lazy
+    // `labels` plan (same ownership rule as the loop's checkpointed state —
+    // the caller's unpersist/clearCache releases it after the final action)
+    Result(labels, phase1Metric +: loop.metrics)
+  }
+
+  /** Min-label propagation WITH Shiloach-Vishkin-style pointer jumping over
+    * an arbitrary vertex universe. Plain propagation needs diameter rounds —
+    * fatal on high-diameter graphs; the shortcut join (labels are vertex
+    * ids, so the label table joins with itself) collapses chains
+    * geometrically: O(log d) rounds, each one O(E) edge join plus two O(V)
+    * self-joins. Labels are monotone non-increasing, so the fixpoint is
+    * exactly the min-id labeling and "msum" convergence is exact. */
+  private[graft] def pointerJump(
+      spark: SparkSession,
+      edges: DataFrame,
+      vertices: DataFrame, // one column "id"
+      cfg: IterConfig): graft.exec.LoopResult = {
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     // one-time build, pinned on the per-round join key: ONLY an explicit
     // repartition(n, col) survives as a cached partitioning guarantee
     // (groupBy/join-derived exchanges get AQE-coalesced and every round
     // silently re-shuffles all O(E) links — the measured PageRank finding,
-    // PageRank.scala:61-64; at web scale that is the difference between an
-    // O(V) and an O(E) per-round shuffle).
-    val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val selfLoops = spark.range(nVertices)
-      .select(col("id").as("src"), col("id").as("dst"))
+    // PageRank.scala:61-64).
+    val selfLoops = vertices.select(col("id").as("src"), col("id").as("dst"))
     val links = AdjacencyBuilder.symmetrize(edges).union(selfLoops)
       .repartition(nParts, col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // real links only for the throughput metric (self-loops are plumbing)
-    val nLinks = links.count() - nVertices
+    val nLinks = links.count() - vertices.count()
 
-    val init = spark.range(nVertices).select(col("id"), col("id").as("x"))
+    val init = vertices.select(col("id"), col("id").as("x"))
 
     // one pointer-jump: label[v] <- label[label[v]] (labels ARE vertex ids).
     // Inner join is total: every label value is a vertex id present on the
@@ -73,7 +167,7 @@ object ConnectedComponents {
 
     // labels are componentwise MONOTONE non-increasing, so convergence
     // ("no label changed") is exactly "sum(labels) unchanged": the loop's
-    // join-free "msum" delta replaces the old per-round old-vs-new O(V)
+    // join-free "msum" delta replaces a per-round old-vs-new O(V)
     // convergence join. (NOT valid for LP, whose labels can swap.)
     val ccCfg = if (cfg.tol > 0) cfg.copy(norm = "msum") else cfg
 
@@ -96,6 +190,6 @@ object ConnectedComponents {
     }
     stale.foreach(_.unpersist())
     links.unpersist()
-    Result(loop.state.select(col("id"), col("x").as("label")), loop.metrics)
+    loop
   }
 }
