@@ -16,10 +16,10 @@ import graft.model.IterationMetrics
   * little-endian broadcast down, packed disjoint slices back), no values
   * array at all — CC only ever reads neighbor IDs.
   *
-  * WHY a second CC path: the DataFrame [[ConnectedComponents]] loop is the
-  * 10^12-vertex design (O(V)-state shuffles per round), but each round pays
-  * one O(E) SHJ probe plus two O(V) self-joins — measured ~2 s/round and
-  * ~240 MB of shuffle at 1M vertices (BENCH r04). In the broadcast regime
+  * WHY a second CC path: the DataFrame [[ConnectedComponents]] (two-phase:
+  * partition-local union-find contraction + pointer jumping on the root
+  * graph) is the 10^12-vertex design, but even its contracted rounds pay
+  * Spark job/shuffle latency (~0.7 s/round at 1M vertices). In the broadcast regime
   * (V ≤ ~10^8, labels fit in one executor: 8 B/vertex) the whole round is
   * one zero-shuffle gather job plus a driver-side pointer compression:
   *   1. executors: label'[v] = min(label[v], min over neighbors(v)) over the

@@ -162,4 +162,23 @@ class Round4Spec extends SparkSuite {
     assert(row.getLong(0) == n)
     assert(math.abs(row.getDouble(1) - 1.0) < 1e-6, "scores must sum to 1")
   }
+
+  test("two-phase CC collapses a 10k-diameter chain in O(1) contracted rounds") {
+    import graft.algo.ConnectedComponents
+    // ONE chain of 10k vertices: the high-diameter adversary. Plain
+    // propagation would need 10^4 rounds; pointer jumping alone needs
+    // ~log2(10^4) heavy O(E)-join rounds. The two-phase path contracts each
+    // range partition's chain segment locally (one pass), leaving a ~P-node
+    // path for the pointer-jump loop — a handful of tiny rounds.
+    val n = 10000L
+    val r = ConnectedComponents.run(spark, Synth.blocks(spark, n, n), n)
+    val labels = r.labels.agg(
+      count(lit(1)), sum(when(col("label") === 0L, 1L).otherwise(0L))).head()
+    assert(labels.getLong(0) == n)
+    assert(labels.getLong(1) == n, "every vertex must reach label 0")
+    assert(r.metrics.head.strategy == "local-contract",
+      "phase-1 contraction must be recorded in the metrics")
+    assert(r.metrics.length <= 8,
+      s"contracted pointer jump should need few rounds, got ${r.metrics.length - 1}")
+  }
 }
