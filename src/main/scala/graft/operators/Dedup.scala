@@ -111,10 +111,26 @@ object Dedup {
       k: Int = 64, bands: Int = 16, shingleWidth: Int = 3,
       threshold: Double = 0.8): DataFrame = {
     require(threshold > 0, "threshold must be > 0 (zero-overlap pairs drop out)")
-    // signatures and the inverted index each appear on BOTH sides of a
-    // self-join: persist, or each side recomputes the whole upstream
-    // (tokenize+shingle+hash) — measured ~10x on the bench corpus.
-    val sigs = minhashSignatures(docs, idCol, textCol, k, shingleWidth).persist()
+    // ONE tokenize+shingle+hash pass over the corpus, persisted: the
+    // signatures, the per-doc set sizes, AND the verify-step inverted index
+    // all derive from this (doc_id, hashed-shingle) relation. The previous
+    // shape recomputed the full text pipeline three times (once inside
+    // minhashSignatures, once for sizes, once for the index) — at web scale
+    // tokenization IS the scan-dominant cost, so it runs exactly once.
+    // shinglesCol is array_distinct'd, so rows are (doc, shingle)-unique.
+    val ex = docs.select(col(idCol).as("doc_id"),
+        explode(shinglesCol(col(textCol), shingleWidth)).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      .persist()
+    // signature agg (same formulation as minhashSignatures: k seeded
+    // re-hashes of the base hash, k codegen'd min-aggregates); persisted
+    // because the LSH bucket relation self-joins.
+    val mins = (0 until k).map(i => min(xxhash64(col("sh"), lit(i))).as(s"_m$i"))
+    val sigArr = array((0 until k).map(i => col(s"_m$i")): _*)
+    val sigs = docs.select(col(idCol).as("doc_id"))
+      .join(ex.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+        .select(col("doc_id"), sigArr.as("signature")), Seq("doc_id"), "left")
+      .persist()
     val buckets = lshBuckets(sigs, bands)
     val cands = buckets.as("l")
       .join(buckets.as("r"),
@@ -122,16 +138,13 @@ object Dedup {
           && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
       .distinct()
-    val base = docs.select(col(idCol).as("doc_id"),
-      shinglesCol(col(textCol), shingleWidth).as("sh"))
-    val sizes = base.select(col("doc_id"), size(col("sh")).as("n")).persist()
-    // hashed inverted index: shingle text never leaves the map side
-    val inv = base.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
-      .persist()
+    // |set| = row count in ex (rows are distinct shingles per doc); docs
+    // with no shingles never reach a bucket, so the inner joins below are
+    // total on the candidate universe
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n")).persist()
     val shared = cands
-      .join(inv.select(col("doc_id").as("a"), col("sh")), "a")
-      .join(inv.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+      .join(ex.select(col("doc_id").as("a"), col("sh")), "a")
+      .join(ex.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
       .groupBy("a", "b").agg(count(lit(1)).as("shared"))
     val verified = shared
       .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
@@ -140,7 +153,7 @@ object Dedup {
         (col("shared").cast("double") /
           (col("na") + col("nb") - col("shared"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    materializeAndRelease(verified, Seq(sigs, sizes, inv))
+    materializeAndRelease(verified, Seq(ex, sigs, sizes))
   }
 
   /** 64-bit SimHash per document: bit i of the hash is 1 iff the sum over
@@ -238,8 +251,13 @@ object Dedup {
     val sets = docs.select(col(idCol).as("doc_id"),
       shinglesCol(col(textCol), shingleWidth).as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+    // hashed inverted index: the shingle TEXT never leaves the map side —
+    // the df-count and the self-join key are the 8-byte xxhash64, not the
+    // ~w-word string (3-4x less shuffle per posting at web scale)
     val inv = sets.select(col("doc_id"), col("n"),
-      explode(col("sh")).as("shingle")).persist()
+      explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), col("n"), xxhash64(col("shingle")).as("shingle"))
+      .persist()
     val df = inv.groupBy("shingle").agg(count(lit(1)).as("docfreq"))
     val filtered = inv.join(df.filter(col("docfreq") <= maxDf), "shingle")
     val shared = filtered.as("l").join(filtered.as("r"),
