@@ -273,6 +273,7 @@ object Bench {
     }
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.bench.StageProf.attachIfEnabled(s.sparkContext)
     s
   }
 

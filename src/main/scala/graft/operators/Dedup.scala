@@ -30,6 +30,22 @@ object Dedup {
           i => array_join(slice(toks, i + 1, lit(w)), " "))))
   }
 
+  /** Ensure the CPU-heavy narrow pass (tokenize -> shingle -> hash) runs at
+    * cluster parallelism. A small corpus arrives as fewer input splits than
+    * cores (sf0.1's documents.parquet is ONE 128 MB-default split -> the
+    * whole tokenize pass ran on 1 of 32 cores: a measured 18 s single-task
+    * stage, 60%+ of the minhash lane). The guard fires only when the scan's
+    * split count is below defaultParallelism — i.e. exactly when shuffling
+    * the raw text is cheap by definition; at web scale the file splits
+    * already exceed the cluster's cores and this is a no-op. */
+  private[operators] def spreadForScan(docs: DataFrame): DataFrame = {
+    val sc = docs.sparkSession.sparkContext
+    val target = sc.defaultParallelism
+    if (docs.queryExecution.toRdd.getNumPartitions < target)
+      docs.repartition(target)
+    else docs
+  }
+
   /** Exact dedup via content hash: one row per document with its content
     * group (hash, group size, canonical keeper = min id in group). */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -54,7 +70,7 @@ object Dedup {
   def minhashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 64, shingleWidth: Int = 3): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"),
+    val base = spreadForScan(docs).select(col(idCol).as("doc_id"),
         explode(shinglesCol(col(textCol), shingleWidth)).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
     val mins = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"_m$i"))
@@ -118,7 +134,7 @@ object Dedup {
     // minhashSignatures, once for sizes, once for the index) — at web scale
     // tokenization IS the scan-dominant cost, so it runs exactly once.
     // shinglesCol is array_distinct'd, so rows are (doc, shingle)-unique.
-    val ex = docs.select(col(idCol).as("doc_id"),
+    val ex = spreadForScan(docs).select(col(idCol).as("doc_id"),
         explode(shinglesCol(col(textCol), shingleWidth)).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
       .persist()
@@ -167,7 +183,7 @@ object Dedup {
     * last no_oracle rows, VERDICT r02 #3). */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val md = md5(col("token"))
-    val tokenHashes = docs.select(col(idCol).as("doc_id"),
+    val tokenHashes = spreadForScan(docs).select(col(idCol).as("doc_id"),
         explode(tokensCol(col(textCol))).as("token"))
       .select(col("doc_id"),
         conv(substring(md, 1, 15), 16, 10).cast("long").as("h1"),
@@ -248,7 +264,7 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int = 3, threshold: Double = 0.5,
       maxDf: Long = 1000): DataFrame = {
-    val sets = docs.select(col(idCol).as("doc_id"),
+    val sets = spreadForScan(docs).select(col(idCol).as("doc_id"),
       shinglesCol(col(textCol), shingleWidth).as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
     // hashed inverted index: the shingle TEXT never leaves the map side —
