@@ -38,7 +38,7 @@ object Dedup {
     * split count is below defaultParallelism — i.e. exactly when shuffling
     * the raw text is cheap by definition; at web scale the file splits
     * already exceed the cluster's cores and this is a no-op. */
-  private[operators] def spreadForScan(docs: DataFrame): DataFrame = {
+  private[graft] def spreadForScan(docs: DataFrame): DataFrame = {
     val sc = docs.sparkSession.sparkContext
     val target = sc.defaultParallelism
     if (docs.queryExecution.toRdd.getNumPartitions < target)

@@ -181,4 +181,31 @@ class Round4Spec extends SparkSuite {
     assert(r.metrics.length <= 8,
       s"contracted pointer jump should need few rounds, got ${r.metrics.length - 1}")
   }
+
+  test("single-split corpus: the shingle scan runs at cluster parallelism") {
+    // A small corpus arrives as ONE input split; the CPU-heavy
+    // tokenize/shingle/hash pass must not run on one core (measured: an
+    // 18 s single-task stage = 60% of the minhash lane before the guard).
+    val oneSplit = docsFixture.coalesce(1)
+    assert(oneSplit.queryExecution.toRdd.getNumPartitions == 1)
+    val spread = Dedup.spreadForScan(oneSplit)
+    assert(spread.queryExecution.toRdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism,
+      "narrow-pass input must be spread to defaultParallelism")
+    // already-parallel input is left untouched (no gratuitous shuffle of
+    // the raw text at scale, where file splits exceed the core count)
+    val wide = docsFixture.repartition(spark.sparkContext.defaultParallelism + 3)
+    assert(Dedup.spreadForScan(wide) eq wide)
+    // and results are unchanged by the spread: one-split input must give
+    // exactly what the already-parallel input gives
+    val fromOne = Dedup.minhashPairs(oneSplit, "doc_id", "text", k = 16,
+      bands = 4, shingleWidth = 2, threshold = 0.3)
+    val fromMany = Dedup.minhashPairs(docsFixture, "doc_id", "text", k = 16,
+      bands = 4, shingleWidth = 2, threshold = 0.3)
+    val got = fromOne.select("a", "b").as[(Long, Long)].collect().toSet
+    val want = fromMany.select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got == want, s"spread changed the result: $got vs $want")
+    assert(got.contains((2L, 3L)), "fixture near-dup pair missing")
+    fromOne.unpersist(); fromMany.unpersist()
+  }
 }
