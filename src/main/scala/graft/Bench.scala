@@ -183,6 +183,16 @@ object Bench {
     "triangles_216" -> { s =>
       TriangleCount.countTriangles(s, Synth.band(s, 1L << 16, 8)); Map.empty
     },
+    "lp_blocks_1m" -> { s =>
+      // the fourth north-star algorithm on the same web-like component
+      // structure as the CC lanes; sync LP converges once every block
+      // agrees on its min label (~4 rounds on 64-vertex blocks)
+      val r = graft.algo.LabelPropagation.run(
+        s, Synth.blocks(s, 1L << 20, 64), 1L << 20, maxIter = 10)
+      r.labels.count()
+      iterExtras("lp_blocks_1m", r.metrics, warmDrop = 0) +
+        ("lp_blocks_1m_rounds" -> r.metrics.length.toDouble)
+    },
     "dedup_minhash_sf" -> { s =>
       Dedup.minhashPairs(s.read.parquet(s"$sfDir/documents.parquet"),
         "doc_id", "text", k = 32, bands = 8, threshold = 0.5).count()
@@ -294,6 +304,7 @@ object Bench {
     "pagerank_220_shuffle_5it" -> 8,
     "pagerank_220_convergence" -> 5,
     "cc_blocks_1m" -> 5,
+    "lp_blocks_1m" -> 5,
     "dedup_minhash_sf" -> 5)
 
   /** Shared-box load gate (VERDICT r03 #8): one external load spike during
