@@ -66,18 +66,22 @@ object ConnectedComponents {
       .repartitionByRange(nParts, col("src"))
       .as[(Long, Long)]
       .mapPartitions { it =>
-        val parent = new java.util.HashMap[Long, Long]()
+        // primitive open-addressing parent map: 16 B/slot, <= 23 B/vertex at
+        // the 0.7 load ceiling (vs ~60-80 B/entry for a boxed j.u.HashMap) —
+        // the per-partition memory bound of the contraction pass, the phase
+        // that must fit executor memory at the 100 TB design point.
+        val parent = new graft.util.LongLongMap(1 << 16)
         def find(a: Long): Long = {
           var r = a
-          while (parent.get(r) != r) r = parent.get(r)
+          while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
           var c = a
-          while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          while (c != r) { val n = parent.getOrDefault(c, c); parent.put(c, r); c = n }
           r
         }
         var nE = 0L
         it.foreach { case (s, d) =>
-          if (!parent.containsKey(s)) parent.put(s, s)
-          if (!parent.containsKey(d)) parent.put(d, d)
+          if (!parent.contains(s)) parent.put(s, s)
+          if (!parent.contains(d)) parent.put(d, d)
           val rs = find(s); val rd = find(d)
           // union-by-min: the surviving root is the smaller id, so find(v)
           // is exactly the min id of v's partition-local component
@@ -87,8 +91,9 @@ object ConnectedComponents {
         }
         edgeCount.add(nE)
         val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
-        val ks = parent.keySet().iterator()
-        while (ks.hasNext) { val v = ks.next(); out += ((v, find(v))) }
+        // find() inside foreach only path-compresses (puts to EXISTING keys:
+        // no insert, no growth), so the key-array iteration stays valid
+        parent.foreach { (v, _) => out += ((v, find(v))) }
         out.iterator
       }.toDF("id", "root")
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -135,7 +140,8 @@ object ConnectedComponents {
     * ids, so the label table joins with itself) collapses chains
     * geometrically: O(log d) rounds, each one O(E) edge join plus two O(V)
     * self-joins. Labels are monotone non-increasing, so the fixpoint is
-    * exactly the min-id labeling and "msum" convergence is exact. */
+    * exactly the min-id labeling; convergence is the exact fused
+    * changed-row count (see the loop below). */
   private[graft] def pointerJump(
       spark: SparkSession,
       edges: DataFrame,
@@ -159,17 +165,21 @@ object ConnectedComponents {
     // one pointer-jump: label[v] <- label[label[v]] (labels ARE vertex ids).
     // Inner join is total: every label value is a vertex id present on the
     // right side. Both sides O(V); hash-build the renamed mapping side.
+    // x_old (the round's starting label) rides along untouched.
     def shortcut(labels: DataFrame): DataFrame =
       labels
         .join(labels.select(col("id").as("x"), col("x").as("x2"))
           .hint("shuffle_hash"), Seq("x"))
-        .select(col("id"), col("x2").as("x"))
+        .select(col("id"), col("x2").as("x"), col("x_old"))
 
-    // labels are componentwise MONOTONE non-increasing, so convergence
-    // ("no label changed") is exactly "sum(labels) unchanged": the loop's
-    // join-free "msum" delta replaces a per-round old-vs-new O(V)
-    // convergence join. (NOT valid for LP, whose labels can swap.)
-    val ccCfg = if (cfg.tol > 0) cfg.copy(norm = "msum") else cfg
+    // Convergence = "no label changed", computed as an EXACT changed-row
+    // count fused into the round's own materialization job (the step emits
+    // x_old; see Iterate/IterConfig). This replaced the r04 "msum"
+    // sum-comparison, whose sum(labels) wrapped at V·maxLabel > 2^63 and
+    // lost exactness in double above 2^53 — silent wrong-convergence at the
+    // 10^12-vertex design point (VERDICT r04 #4). "changed" compares longs
+    // row-wise: exact at any V and any label magnitude.
+    val ccCfg = if (cfg.tol > 0) cfg.copy(norm = "changed") else cfg
 
     // a self-join evaluates its input subtree on BOTH sides: persist each
     // stage inside the round or the propagate join runs 4x per round.
@@ -177,11 +187,13 @@ object ConnectedComponents {
     val loop = Iterate.loop(init, ccCfg, nLinks, "min-prop+shortcut") {
       (state, _) =>
         stale.foreach(_.unpersist()); stale = Nil
-        // min label over {v} ∪ neighbors, gathered at src in ONE aggregate
-        // (the self-loop contributes v's own label to its group)
+        // min label over {v} ∪ neighbors, gathered at src in ONE aggregate;
+        // the self-loop row (dst == src) both contributes v's own label to
+        // the min AND carries it out as x_old for the fused changed-count
         val propagated = links
           .join(state.withColumnRenamed("id", "dst").hint("shuffle_hash"), "dst")
-          .groupBy("src").agg(min("x").as("x"))
+          .groupBy("src").agg(min("x").as("x"),
+            max(when(col("dst") === col("src"), col("x"))).as("x_old"))
           .withColumnRenamed("src", "id")
           .persist(StorageLevel.MEMORY_AND_DISK)
         val jumped = shortcut(propagated).persist(StorageLevel.MEMORY_AND_DISK)

@@ -2,9 +2,7 @@ package graft.algo
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 import java.nio.{ByteBuffer, ByteOrder}
-import graft.graph.AdjacencyBuilder
 import graft.model.IterationMetrics
 
 /** Connected components over per-partition flat CSR blocks with a broadcast
@@ -43,30 +41,7 @@ import graft.model.IterationMetrics
   * packed little-endian longs — architecture-independent wire format.
   */
 object ConnectedComponentsArray {
-  import PageRankArray.CsrBlock
-
-  private[graft] def packL(x: Array[Long]): Array[Byte] = {
-    val b = new Array[Byte](x.length * 8)
-    ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).asLongBuffer().put(x)
-    b
-  }
-  private[graft] def unpackL(b: Array[Byte]): Array[Long] = {
-    val x = new Array[Long](b.length / 8)
-    ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).asLongBuffer().get(x)
-    x
-  }
-
-  /** Once-per-executor-per-iteration unpack of the broadcast labels (the
-    * [[PageRankArray.StateCache]] pattern; keyed by broadcast id, a miss
-    * just re-unpacks — correctness never depends on a hit). */
-  private object LabelCache {
-    private var key = -1L
-    private var l: Array[Long] = _
-    def longs(id: Long, bytes: Array[Byte]): Array[Long] = synchronized {
-      if (key != id || l == null) { l = unpackL(bytes); key = id }
-      l
-    }
-  }
+  import graft.graph.CsrBlocks.{packL, unpackL, LabelCache}
 
   def run(
       spark: SparkSession,
@@ -80,57 +55,10 @@ object ConnectedComponentsArray {
     // one-time value-less CSR build: symmetrized neighbors keyed by dst,
     // hash-partitioned + dst-sorted row stream -> chunked flat blocks (the
     // PageRankArray build shape minus the normalize join and the values
-    // array — CC gathers ids only, so CSR here is 4 B/edge colInd + rowPtr)
-    val sorted = AdjacencyBuilder.symmetrize(edges)
-      .repartition(nParts, col("dst"))
-      .sortWithinPartitions("dst")
-      .select(col("dst"), col("src"))
-    val chunkEdges = 4 << 20
-    val blocks = sorted.queryExecution.toRdd.mapPartitions { rows =>
-      // one-row lookahead over REUSED InternalRows (copy fields first)
-      var pDst = 0L; var pSrc = 0L
-      var pending = false
-      def fetch(): Unit =
-        if (rows.hasNext) {
-          val r = rows.next()
-          pDst = r.getLong(0); pSrc = r.getLong(1)
-          pending = true
-        } else pending = false
-      fetch()
-      new Iterator[CsrBlock] {
-        def hasNext: Boolean = pending
-        def next(): CsrBlock = {
-          val dsts = new scala.collection.mutable.ArrayBuffer[Long](1 << 16)
-          val rowPtr = new scala.collection.mutable.ArrayBuffer[Int](1 << 16)
-          var colInd = new Array[Int](chunkEdges)
-          var m = 0
-          var curDst = Long.MinValue
-          var open = false
-          rowPtr += 0
-          while (pending && (m < chunkEdges || pDst == curDst)) {
-            val dst = pDst; val src = pSrc
-            fetch()
-            if (!open || dst != curDst) {
-              if (open) rowPtr += m
-              dsts += dst
-              curDst = dst
-              open = true
-            }
-            if (m == colInd.length)
-              colInd = java.util.Arrays.copyOf(colInd, colInd.length * 2)
-            colInd(m) = src.toInt
-            m += 1
-          }
-          if (open) rowPtr += m
-          CsrBlock(dsts.toArray, rowPtr.toArray,
-            java.util.Arrays.copyOf(colInd, m),
-            Array.emptyDoubleArray, Array.emptyFloatArray)
-        }
-      }
-    }.persist(StorageLevel.MEMORY_ONLY)
-    blocks.localCheckpoint() // truncate task-binary lineage (PageRankArray)
-    val dstsByPart: Array[Array[Long]] = blocks.map(_.dsts).collect()
-    val nEdges = blocks.map(_.colInd.length.toLong).fold(0L)(_ + _)
+    // array — CC gathers ids only, so CSR here is 4 B/edge colInd + rowPtr;
+    // shared with LabelPropagationArray via graft.graph.CsrBlocks)
+    val (blocks, dstsByPart, nEdges) =
+      graft.graph.CsrBlocks.build(edges, nParts)
 
     val sc = spark.sparkContext
     val metrics = scala.collection.mutable.ArrayBuffer.empty[IterationMetrics]

@@ -29,36 +29,42 @@ object LabelPropagation {
       nVertices: Long,
       maxIter: Int = 20): Result = {
     // pinned on the per-round join key (see ConnectedComponents.run: only an
-    // explicit repartition survives as a cached partitioning guarantee)
+    // explicit repartition survives as a cached partitioning guarantee).
+    // A FLAGGED plumbing self-loop per vertex rides in the link set: flagged
+    // rows are EXCLUDED from the neighbor histogram (a real self-loop in the
+    // histogram would change LP semantics) but give every vertex a group and
+    // carry its own previous label out of the aggregate — so the round needs
+    // no completion join and no convergence join (fused changed-count).
     val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val selfLoops = spark.range(nVertices)
+      .select(col("id").as("src"), col("id").as("dst"), lit(true).as("self"))
     val links = AdjacencyBuilder.symmetrize(edges)
+      .withColumn("self", lit(false))
+      .union(selfLoops)
       .repartition(nParts, col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nLinks = links.count()
+    val nLinks = links.count() - nVertices // plumbing rows aren't edges
 
     // labels as LONG end to end (no double-typed join keys — the CC r03
     // finding applies here identically)
     val vertices = spark.range(nVertices).toDF("id")
     val init = vertices.select(col("id"), col("id").as("x"))
-    val cfg = IterConfig(tol = 0.5, maxIter = maxIter)
+    val cfg = IterConfig(tol = 0.5, maxIter = maxIter, norm = "changed")
 
     val loop = Iterate.loop(init, cfg, nLinks, "sync-lp") { (state, _) =>
-      // histogram of neighbor labels per vertex, gathered at src. SHJ hint:
-      // links are cached pinned on dst; hash-build the O(V) state side
-      // instead of sort-merging (re-sorting) the O(E) links every round.
-      val hist = links
+      // ONE join + ONE aggregate per round (VERDICT r04 #5 rework): the
+      // typed LabelMode aggregate partial-aggregates per-vertex label
+      // histograms map-side, so the single shuffle carries serialized
+      // (label, count) maps — not the exploded (src, label, cnt) relation
+      // the old groupBy(src, label) + groupBy(src) double shuffle moved.
+      // SHJ hint: links are cached pinned on dst; hash-build the O(V) state
+      // side instead of sort-merging (re-sorting) the O(E) links.
+      links
         .join(state.withColumnRenamed("id", "dst").hint("shuffle_hash"), "dst")
-        .groupBy(col("src"), col("x").as("nbr_label"))
-        .agg(count(lit(1)).as("cnt"))
-      // argmax by (count desc, label asc): max of struct(cnt, -label)
-      val winner = hist
         .groupBy("src")
-        .agg(max(struct(col("cnt"), (-col("nbr_label")).as("neg"))).as("m"))
-        .select(col("src").as("id"), (-col("m.neg")).as("new_label"))
-      // left join (NOT a self-loop in links: a self-loop would add v's own
-      // label to the neighbor histogram and change LP semantics)
-      state.join(winner.hint("shuffle_hash"), Seq("id"), "left")
-        .select(col("id"), coalesce(col("new_label"), col("x")).as("x"))
+        .agg(graft.functions.LabelMode.labelMode(col("x"), col("self")).as("m"))
+        .select(col("src").as("id"), col("m.x").as("x"),
+          col("m.x_old").as("x_old"))
     }
     links.unpersist()
     Result(

@@ -125,14 +125,18 @@ object PageRank {
     val loop: LoopResult = Iterate.loop(init, cfg, nEdges, stratName, startIter) {
       (state, _) =>
         // zero self-contributions guarantee every vertex appears: the gather
-        // output IS the dense state, no completion join.
+        // output IS the dense state, no completion join. The same diagonal
+        // rows carry each vertex's OLD state out of the gather aggregate
+        // (withOldState), feeding the loop's fused convergence delta — a
+        // convergence-mode iteration is ONE job, no old-vs-new dist join.
         val completed = Gather
           .gather(norm, state, keyCol = "dst", lookupCol = "src", pCol = "p",
-            resolved)
-          .select(col("dst").as("id"), col("x").as("g"))
+            resolved, withOldState = true)
+          .select(col("dst").as("id"), col("x").as("g"), col("x_old"))
         if (nDangling == 0) {
           completed.select(col("id"),
-            (lit((1.0 - damping) / nVertices) + lit(damping) * col("g")).as("x"))
+            (lit((1.0 - damping) / nVertices) + lit(damping) * col("g")).as("x"),
+            col("x_old"))
         } else {
           // dangling mass as a broadcast 1-row aggregate inside the SAME
           // plan: the whole iteration is one job, no scalar round-trip.
@@ -141,7 +145,8 @@ object PageRank {
           completed.crossJoin(broadcast(dm))
             .select(col("id"),
               (lit((1.0 - damping) / nVertices) +
-                lit(damping) * (col("g") + col("dm") / nVertices)).as("x"))
+                lit(damping) * (col("g") + col("dm") / nVertices)).as("x"),
+              col("x_old"))
         }
     }
     dangling.unpersist()

@@ -64,13 +64,21 @@ object Gather {
     * partial-aggregates map-side before the O(V)-sized final shuffle. Edges
     * themselves never move after the one-time adjacency build.
     */
+  /** @param withOldState also emit `x_old` = the key vertex's own previous
+    *   state, extracted from the DIAGONAL message row (`lookupCol == keyCol`)
+    *   in the SAME join + aggregate — zero extra joins, one extra aggregate
+    *   expression. Requires `msgs` to contain one diagonal row per key
+    *   (PageRank's zero-weight self-contribution rows provide exactly that).
+    *   This is what feeds the loop's fused convergence delta
+    *   (Iterate/IterConfig: one job per convergence-mode iteration). */
   def gather(
       msgs: DataFrame,
       state: DataFrame,
       keyCol: String,
       lookupCol: String,
       pCol: String,
-      strategy: GatherStrategy): DataFrame = {
+      strategy: GatherStrategy,
+      withOldState: Boolean = false): DataFrame = {
     val st = state.select(col("id").as(lookupCol), col("x"))
     val joined = strategy match {
       case GatherStrategy.BroadcastState => msgs.join(broadcast(st), lookupCol)
@@ -82,7 +90,11 @@ object Gather {
         // per-iteration gather wants at any scale.
         msgs.join(st.hint("shuffle_hash"), lookupCol)
     }
-    joined.groupBy(keyCol).agg(sum(col(pCol) * col("x")).as("x"))
+    val base = joined.groupBy(keyCol)
+    if (withOldState)
+      base.agg(sum(col(pCol) * col("x")).as("x"),
+        max(when(col(lookupCol) === col(keyCol), col("x"))).as("x_old"))
+    else base.agg(sum(col(pCol) * col("x")).as("x"))
   }
 
   /** Salted two-phase sum for hot aggregation keys (reference analog: the

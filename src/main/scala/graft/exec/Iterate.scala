@@ -23,12 +23,23 @@ import graft.model.IterationMetrics
   *   - records per-iteration throughput metrics (edges/sec, delta).
   */
 /** @param norm convergence norm: "linf" (max per-vertex delta), "l1"
-  *   (sum of deltas), or "msum" (monotone-sum: |sum(x_new) - sum(x_old)|,
-  *   computed WITHOUT the old-vs-new join — one single-aggregate job, the
-  *   previous sum cached driver-side). "msum" is exact convergence
-  *   detection whenever x is componentwise monotone under the step (CC/LP
-  *   labels only ever decrease, so sum changes iff any label changed);
-  *   for non-monotone states it is only a heuristic — keep linf/l1 there.
+  *   (sum of deltas), or "changed" (exact count of rows whose x changed —
+  *   the norm for label states: exact at ANY scale, unlike the retired
+  *   "msum" sum-comparison form, whose `sum(x)` over Long labels wraps at
+  *   V·maxLabel > 2^63 and loses exactness in double above 2^53 — a silent
+  *   wrong-convergence hazard on the 10^12-vertex design path).
+  *   HOW the delta is computed depends on the step's output shape: a step
+  *   that emits (id, x, x_old) gets the FUSED path — the delta accumulates
+  *   inside the materialization job itself (a task-side accumulator in the
+  *   final projection), so a convergence-mode iteration is ONE Spark job,
+  *   with no old-vs-new join and no second pass (VERDICT r04 #1: the
+  *   per-iteration `dist` join was the measured serial term limiting N->4N
+  *   scaling). A step that emits only (id, x) falls back to the legacy
+  *   `dist` join. Accumulator caveat, why this is safe: a speculated or
+  *   retried task can double-count its rows, which can only INFLATE an
+  *   additive delta (l1/changed: non-negative terms) and cannot change a
+  *   max (linf) — so a fused delta may run one extra iteration under task
+  *   retry, but can never stop early wrongly.
   *   For PageRank the state is a probability vector whose
   *   entries scale as 1/V, so an ABSOLUTE linf tolerance of 1e-6 is
   *   trivially satisfied at V >= 10^6 after one step and meaningless at
@@ -44,20 +55,79 @@ final case class IterConfig(
 
 final case class LoopResult(state: DataFrame, metrics: Seq[IterationMetrics])
 
+/** Task-side convergence-delta accumulator for the fused path: additive
+  * (l1 / changed-count) or max (linf). Registered fresh per iteration; the
+  * driver reads it right after the materialization job completes. */
+final class DeltaAccumulator(isMax: Boolean)
+    extends org.apache.spark.util.AccumulatorV2[Double, Double] {
+  private var v = 0.0
+  override def isZero: Boolean = v == 0.0
+  override def copy(): DeltaAccumulator = {
+    val a = new DeltaAccumulator(isMax); a.v = v; a
+  }
+  override def reset(): Unit = v = 0.0
+  override def add(x: Double): Unit = v = if (isMax) math.max(v, x) else v + x
+  override def merge(o: org.apache.spark.util.AccumulatorV2[Double, Double]): Unit =
+    add(o.value)
+  override def value: Double = v
+}
+
 object Iterate {
 
-  /** Distance between two (id, x) states: "linf" max-delta or "l1" sum.
+  /** Distance between two (id, x) states: "linf" max-delta, "l1" sum, or
+    * "changed" exact changed-row count (computed as a sum of 0/1 longs —
+    * exact at any V and any label magnitude).
     * Works for both double states (PageRank) and long label states (CC/LP):
     * the aggregate is cast to double AFTER the sum/max, so long states keep
-    * exact integer arithmetic inside the aggregation. */
+    * exact integer arithmetic inside the aggregation.
+    * LEGACY fallback: steps that emit (id, x, x_old) never call this — the
+    * loop fuses the delta into the materialization job (see IterConfig). */
   def dist(oldState: DataFrame, newState: DataFrame,
       norm: String = "linf"): Double = {
     val d = abs(col("x") - col("x_old"))
+    val agg = norm match {
+      case "l1"      => sum(d)
+      case "changed" => sum((col("x") =!= col("x_old")).cast("long"))
+      case _         => max(d)
+    }
     val row = oldState.select(col("id"), col("x").as("x_old"))
       .join(newState.hint("shuffle_hash"), "id")
-      .agg((if (norm == "l1") sum(d) else max(d)).cast("double").as("d"))
+      .agg(agg.cast("double").as("d"))
       .head()
     if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+  }
+
+  /** Fused-delta wrapper: strips the step's `x_old` column while adding each
+    * row's contribution to `acc` inside the SAME materialization job. Typed
+    * map (codegen'd tuple encoders), two dtype paths: Double states
+    * (PageRank) and Long label states (CC/LP). For Long states use
+    * norm="changed": the comparison is exact at any magnitude, whereas an
+    * l1/linf |x - x_old| on labels would round through double above 2^53. */
+  private def fuseDelta(stepped: DataFrame, norm: String,
+      acc: DeltaAccumulator): DataFrame = {
+    val sp = stepped.sparkSession
+    import sp.implicits._
+    val cols = stepped.select(col("id"), col("x"), col("x_old"))
+    stepped.schema("x").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        val ds = cols.as[(Long, Long, Long)]
+        (norm match {
+          case "changed" => ds.map { t =>
+            if (t._2 != t._3) acc.add(1.0); (t._1, t._2) }
+          case "l1" => ds.map { t =>
+            acc.add(math.abs(t._2.toDouble - t._3.toDouble)); (t._1, t._2) }
+          case _ => ds.map { t =>
+            acc.add(math.abs(t._2.toDouble - t._3.toDouble)); (t._1, t._2) }
+        }).toDF("id", "x")
+      case _ =>
+        val ds = cols.as[(Long, Double, Double)]
+        (norm match {
+          case "changed" => ds.map { t =>
+            if (t._2 != t._3) acc.add(1.0); (t._1, t._2) }
+          case _ => ds.map { t =>
+            acc.add(math.abs(t._2 - t._3)); (t._1, t._2) }
+        }).toDF("id", "x")
+    }
   }
 
   /** L-infinity distance between two (id, x) states. */
@@ -113,14 +183,25 @@ object Iterate {
     val metrics = scala.collection.mutable.ArrayBuffer.empty[IterationMetrics]
     var iter = startIter
     var delta = Double.MaxValue
-    def stateSum(df: DataFrame): Double =
-      df.agg(sum(col("x")).cast("double")).head().getDouble(0)
-    // "msum" carries the previous sum driver-side; seeded from init
-    var prevSum = if (cfg.norm == "msum" && cfg.tol > 0) stateSum(state) else 0.0
     while (iter < cfg.maxIter && delta >= cfg.tol) {
       val t0 = System.nanoTime()
       collector.resetMax()
-      val stepped = step(state, iter)
+      val steppedRaw = step(state, iter)
+      // FUSED convergence (VERDICT r04 #1): a step that emits (id, x, x_old)
+      // gets its delta accumulated task-side inside the materialization job
+      // — the whole iteration is ONE job, no old-vs-new join. tol <= 0
+      // (fixed-iteration mode) just strips x_old.
+      val fused = steppedRaw.columns.contains("x_old")
+      var acc: Option[DeltaAccumulator] = None
+      val stepped =
+        if (!fused) steppedRaw
+        else if (cfg.tol <= 0.0) steppedRaw.select(col("id"), col("x"))
+        else {
+          val a = new DeltaAccumulator(cfg.norm == "linf")
+          sc.register(a, s"graft.delta.$iter")
+          acc = Some(a)
+          fuseDelta(steppedRaw, cfg.norm, a)
+        }
       // localCheckpoint (not persist) every k iterations: persist alone
       // truncates recompute but NOT the logical plan, which otherwise grows
       // linearly and blows up the planner/AQE by iteration ~100.
@@ -133,13 +214,15 @@ object Iterate {
         if (cfg.tol <= 0.0) { // localCheckpoint(true) already materialized
           if ((iter + 1) % cfg.checkpointEvery != 0) next.count()
           Double.MaxValue
-        } else if (cfg.norm == "msum") {
-          // join-free convergence: one aggregate over the checkpointed next
-          val s = stateSum(next)
-          val d = math.abs(prevSum - s)
-          prevSum = s
-          d
-        } else dist(state, next, cfg.norm) // action: materializes next
+        } else acc match {
+          case Some(a) =>
+            // fused: materialize (localCheckpoint(true) already ran the
+            // job; the persist branch needs one action), then read the
+            // accumulator the job populated.
+            if ((iter + 1) % cfg.checkpointEvery != 0) next.count()
+            a.value
+          case None => dist(state, next, cfg.norm) // action: materializes next
+        }
       val secs = (System.nanoTime() - t0) / 1e9
       // shuffle/skew deltas for this iteration's window (async listener:
       // values are exact once the bus drains; see TaskMetricsCollector)

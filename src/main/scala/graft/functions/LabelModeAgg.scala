@@ -1,0 +1,140 @@
+package graft.functions
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.types._
+
+import graft.util.LongLongMap
+
+/** One-pass neighbor-label MODE aggregate for synchronous label propagation:
+  * per group (= per vertex), the most frequent non-self label, ties broken
+  * by the SMALLEST label — `ORDER BY cnt DESC, label ASC LIMIT 1` exactly,
+  * fully deterministic (north rule "label propagation assignments exact").
+  *
+  * Replaces the r04 two-shuffle plan `groupBy(src, label).count` →
+  * `groupBy(src).agg(max(struct(cnt, -label)))` (VERDICT r04 #5): a custom
+  * `TypedImperativeAggregate` gets Spark's partial aggregation automatically,
+  * so each map task folds its partition's neighbor labels into per-vertex
+  * count maps BEFORE the exchange — ONE shuffle per LP round, carrying
+  * serialized (label, count) histograms instead of the exploded
+  * (src, label, cnt) relation.
+  *
+  * The second input marks the caller's PLUMBING self-loop row (dst == src,
+  * added so every vertex has a group): it is excluded from the histogram —
+  * LP adopts the neighbors' mode, never its own label — and captured as the
+  * vertex's own previous label, returned as `x_old` for the loop's fused
+  * changed-count convergence (Iterate/IterConfig). eval() returns
+  * struct(x = mode or own-label-when-no-neighbors, x_old = own label).
+  *
+  * Reference analog: one kernel row-pass per iteration
+  * (`/root/reference/include/graphCSR.hpp:215-249`) re-expressed on the
+  * (argmax-count) "semiring".
+  */
+case class LabelMode(
+    label: Expression,
+    isSelf: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[LabelMode.Hist]
+  with BinaryLike[Expression] with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.graft.bridge.AbstractDataType] =
+    Seq(LongType, BooleanType)
+
+  override def left: Expression = label
+  override def right: Expression = isSelf
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LabelMode =
+    copy(label = newLeft, isSelf = newRight)
+
+  override def createAggregationBuffer(): LabelMode.Hist = new LabelMode.Hist
+
+  override def update(b: LabelMode.Hist, input: InternalRow): LabelMode.Hist = {
+    val l = label.eval(input)
+    val s = isSelf.eval(input)
+    if (l != null) {
+      val lv = l.asInstanceOf[Long]
+      if (s != null && s.asInstanceOf[Boolean]) { b.own = lv; b.ownSet = true }
+      else b.counts.addTo(lv, 1L)
+    }
+    b
+  }
+
+  override def merge(b: LabelMode.Hist, o: LabelMode.Hist): LabelMode.Hist = {
+    o.counts.foreach { (k, v) => b.counts.addTo(k, v); () }
+    if (o.ownSet) { b.own = o.own; b.ownSet = true }
+    b
+  }
+
+  override def eval(b: LabelMode.Hist): Any = {
+    // (count desc, label asc) argmax over the histogram
+    var bestLabel = Long.MaxValue
+    var bestCnt = 0L
+    b.counts.foreach { (l, c) =>
+      if (c > bestCnt || (c == bestCnt && l < bestLabel)) {
+        bestCnt = c; bestLabel = l
+      }
+    }
+    val own = if (b.ownSet) b.own else bestLabel
+    val mode = if (bestCnt > 0) bestLabel else own
+    InternalRow(mode, own)
+  }
+
+  override def serialize(b: LabelMode.Hist): Array[Byte] = {
+    // little-endian pinned: partial-agg buffers cross executor boundaries
+    val bb = ByteBuffer.allocate(1 + 8 + 4 + b.counts.size * 16)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(if (b.ownSet) 1.toByte else 0.toByte)
+    bb.putLong(b.own)
+    bb.putInt(b.counts.size)
+    b.counts.foreach { (k, v) => bb.putLong(k); bb.putLong(v) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): LabelMode.Hist = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val h = new LabelMode.Hist
+    h.ownSet = bb.get() == 1
+    h.own = bb.getLong
+    var n = bb.getInt
+    while (n > 0) { h.counts.addTo(bb.getLong, bb.getLong); n -= 1 }
+    h
+  }
+
+  override def withNewMutableAggBufferOffset(off: Int): LabelMode =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): LabelMode =
+    copy(inputAggBufferOffset = off)
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("x", LongType, nullable = false),
+    StructField("x_old", LongType, nullable = false)))
+  override def prettyName: String = "label_mode"
+}
+
+object LabelMode {
+
+  /** Per-group histogram: primitive label -> count map (LongLongMap: 16
+    * B/slot, no boxing) + the group's own previous label from the plumbing
+    * self row. */
+  final class Hist {
+    val counts = new LongLongMap(8)
+    var own: Long = 0L
+    var ownSet: Boolean = false
+  }
+
+  /** Column wrapper: `labelMode(label, isSelf)` aggregates to
+    * struct(x = neighbor mode, x_old = own previous label). */
+  def labelMode(label: Column, isSelf: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      LabelMode(
+        org.apache.spark.sql.graft.bridge.expression(label),
+        org.apache.spark.sql.graft.bridge.expression(isSelf))
+        .toAggregateExpression())
+}

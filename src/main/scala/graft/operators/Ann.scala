@@ -87,29 +87,51 @@ object Ann {
     math.min(24, math.max(4, b))
   }
 
+  /** Signature relation: (id, table, sig) ONLY — the embedding is consumed
+    * inside the projection and never leaves the scan. The LSH bucket joins
+    * must carry no array payload: a (query, vector) pair sharing b of the
+    * `tables` buckets would otherwise ship both embedding arrays b times
+    * through the shuffle (VERDICT r04 #3 — up to `tables`x join payload at
+    * web scale). */
+  private def sigOnly(df: DataFrame, idAlias: String,
+      bits: Int, tables: Int): DataFrame = {
+    val emb = asDouble(col("embedding"))
+    df.select(col(idAlias),
+        posexplode(array((0 until tables).map(t =>
+          hyperplaneSigOffset(emb, bits, t * bits)): _*)))
+      .select(col(idAlias), col("pos").as("table"), col("col").as("sig"))
+  }
+
   /** LSH-bucketed approximate top-k: corpus and queries hashed with `tables`
     * independent signature functions of `bits` bits; candidates = corpus
     * rows sharing any (table, signature) bucket with the query; exact cosine
     * + top-k over candidates only. Recall grows with `tables`, candidate
-    * cost shrinks with `bits`. */
+    * cost shrinks with `bits`.
+    *
+    * Physical shape (r04 #3 rework): the bucket join moves (id, table, sig)
+    * rows only; candidate id-pairs are DEDUPLICATED first (`distinct`), and
+    * embeddings join in once per surviving pair — each pair's arrays cross
+    * the wire once and its cosine is computed once, regardless of how many
+    * buckets the pair shares. */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       bits: Int = 12, tables: Int = 4,
       corpusId: String = "vec_id", queryId: String = "query_id"): DataFrame = {
-    def bucketed(df: DataFrame, idAlias: String, embAlias: String): DataFrame = {
-      val emb = asDouble(col("embedding"))
-      df.select(col(idAlias), emb.as(embAlias),
-          posexplode(array((0 until tables).map(t =>
-            hyperplaneSigOffset(emb, bits, t * bits)): _*)))
-        .withColumnRenamed("pos", "table")
-        .withColumnRenamed("col", "sig")
-    }
-    val c = bucketed(corpus.withColumnRenamed(corpusId, "vec_id"), "vec_id", "c_emb")
-    val q = bucketed(queries.withColumnRenamed(queryId, "query_id"), "query_id", "q_emb")
-    val cands = c.join(q, Seq("table", "sig"))
+    val c = sigOnly(corpus.withColumnRenamed(corpusId, "vec_id"), "vec_id",
+      bits, tables)
+    val q = sigOnly(queries.withColumnRenamed(queryId, "query_id"), "query_id",
+      bits, tables)
+    val pairs = c.join(q, Seq("table", "sig"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    val cEmb = corpus.select(col(corpusId).as("vec_id"),
+      asDouble(col("embedding")).as("c_emb"))
+    val qEmb = queries.select(col(queryId).as("query_id"),
+      asDouble(col("embedding")).as("q_emb"))
+    val cands = pairs
+      .join(cEmb.hint("shuffle_hash"), "vec_id")
+      .join(broadcast(qEmb), "query_id")
       .select(col("query_id"), col("vec_id"),
         cosine(col("c_emb"), col("q_emb")).as("cosine"))
-      .groupBy("query_id", "vec_id").agg(first("cosine").as("cosine"))
     topKPerQuery(cands, k)
   }
 
@@ -134,18 +156,21 @@ object Ann {
       corpus: DataFrame, threshold: Double,
       bits: Int = 8, tables: Int = 6,
       idCol: String = "vec_id"): DataFrame = {
-    val emb = asDouble(col("embedding"))
-    val sigs = corpus.select(col(idCol).as("vec_id"), emb.as("e"),
-        posexplode(array((0 until tables).map(t =>
-          hyperplaneSigOffset(emb, bits, t * bits)): _*)))
-      .select(col("vec_id"), col("e"), col("pos").as("table"), col("col").as("sig"))
-      .persist() // self-joined below: avoid recomputing hyperplane sigs per side
-    val pairs = sigs.as("l").join(sigs.as("r"),
+    // id+sig only (no embedding in the self-join — r04 #3, see sigOnly);
+    // persisted: a self-join evaluates its input subtree on both sides, and
+    // the hyperplane projections are the expensive part of this pass
+    val sigs = sigOnly(corpus.withColumnRenamed(idCol, "vec_id"), "vec_id",
+      bits, tables).persist()
+    val pairIds = sigs.as("l").join(sigs.as("r"),
         col("l.table") === col("r.table") && col("l.sig") === col("r.sig") &&
           col("l.vec_id") < col("r.vec_id"))
-      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"),
-        cosine(col("l.e"), col("r.e")).as("cosine"))
-      .groupBy("a", "b").agg(first("cosine").as("cosine"))
+      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"))
+      .distinct() // dedup id-pairs BEFORE any embedding moves
+    val embs = corpus.select(col(idCol).as("id"), asDouble(col("embedding")).as("e"))
+    val pairs = pairIds
+      .join(embs.select(col("id").as("a"), col("e").as("ea")).hint("shuffle_hash"), "a")
+      .join(embs.select(col("id").as("b"), col("e").as("eb")).hint("shuffle_hash"), "b")
+      .select(col("a"), col("b"), cosine(col("ea"), col("eb")).as("cosine"))
       .filter(col("cosine") >= threshold)
     // result comes back persisted + computed; internal sig cache released
     // (same caller-owns-the-result contract as Dedup's pair operators)

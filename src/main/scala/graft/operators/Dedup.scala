@@ -41,7 +41,15 @@ object Dedup {
   private[graft] def spreadForScan(docs: DataFrame): DataFrame = {
     val sc = docs.sparkSession.sparkContext
     val target = sc.defaultParallelism
-    if (docs.queryExecution.toRdd.getNumPartitions < target)
+    // Shuffle-derived inputs: constructing toRdd on a plan containing
+    // exchanges would, under AQE, materialize the upstream query stages
+    // EAGERLY at plan-construction time (ADVICE r04) — and a post-shuffle
+    // relation already sits at spark.sql.shuffle.partitions anyway, so the
+    // small-scan guard has nothing to fix there. Only probe the split count
+    // (safe, no exchange to execute) on exchange-free scan-rooted plans.
+    val hasExchange = docs.queryExecution.sparkPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+    if (!hasExchange && docs.queryExecution.toRdd.getNumPartitions < target)
       docs.repartition(target)
     else docs
   }
