@@ -5,9 +5,14 @@ Pairs consecutive (N-cores, 4N-cores) lines, computes per-pair efficiency
 eff = (seconds_N / seconds_4N) / 4 (and the min-iteration variant), prints
 each pair with its load context plus the median/min/max across pairs.
 
+Also reports a bootstrap 95% CI on the paired min-iteration efficiency
+median (VERDICT r04 #7: state the criterion met only if the CI's lower
+bound clears 0.75 — a median that lands exactly on 0.8 is not evidence by
+itself). Deterministic seed so the printed CI is reproducible.
+
 Usage: scaling_eff.py <file.jsonl> [...more files]
 """
-import json, statistics, sys
+import json, random, statistics, sys
 
 
 def main(paths):
@@ -46,6 +51,19 @@ def main(paths):
         na = min(a["seconds"] for a, _ in pairs)
         nb = min(b["seconds"] for _, b in pairs)
         print(f"min-of-mins eff={(na / nb) / 4.0:.3f}")
+        ia = min(a["min_iter_secs"] for a, _ in pairs)
+        ib = min(b["min_iter_secs"] for _, b in pairs)
+        print(f"min-of-mins min-iter eff={(ia / ib) / 4.0:.3f}")
+        # bootstrap 95% CI of the paired min-iter median (10k resamples,
+        # fixed seed): resample PAIRS with replacement, take each
+        # resample's median, report the 2.5/97.5 percentiles
+        rng = random.Random(42)
+        meds = sorted(
+            statistics.median(rng.choices(ieffs, k=len(ieffs)))
+            for _ in range(10000))
+        lo95, hi95 = meds[249], meds[9749]
+        print(f"bootstrap 95% CI of median min-iter eff: "
+              f"[{lo95:.3f}, {hi95:.3f}]  (n={len(ieffs)} pairs, seed 42)")
 
 
 if __name__ == "__main__":

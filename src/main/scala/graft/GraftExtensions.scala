@@ -19,8 +19,10 @@ import graft.functions.BoundedTopK
   * [[GraftExtensions.register]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.boundedTopKFunction)
+    ext.injectFunction(GraftExtensions.labelModeFunction)
+  }
 }
 
 object GraftExtensions {
@@ -43,10 +45,23 @@ object GraftExtensions {
       BoundedTopK(args(0), args(1), k)
     })
 
+  /** SQL `label_mode(label, is_self)` — the one-pass LP mode aggregate
+    * (struct(x = neighbor mode, x_old = own label); see
+    * [[graft.functions.LabelMode]]). */
+  val labelModeFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("label_mode"),
+    new ExpressionInfo(classOf[graft.functions.LabelMode].getName, "label_mode"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2,
+        s"label_mode(label, is_self) takes 2 arguments, got ${args.length}")
+      graft.functions.LabelMode(args(0), args(1))
+    })
+
   /** Register graft's SQL functions on an existing session (new sessions
     * should prefer the spark.sql.extensions config). */
   def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = boundedTopKFunction
-    org.apache.spark.sql.graft.bridge.registerFunction(spark, id, info, builder)
+    Seq(boundedTopKFunction, labelModeFunction).foreach { case (id, info, builder) =>
+      org.apache.spark.sql.graft.bridge.registerFunction(spark, id, info, builder)
+    }
   }
 }

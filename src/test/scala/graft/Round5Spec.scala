@@ -227,6 +227,20 @@ class Round5Spec extends SparkSuite {
     assert(m.getOrDefault(0L, -1L) === 123L)
   }
 
+  test("label_mode from SQL (SparkSessionExtensions surface)") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq((0L, 5L, false), (0L, 5L, false), (0L, 3L, false), (0L, 9L, true),
+      (1L, 7L, true))
+      .toDF("src", "x", "self").createOrReplaceTempView("lm_t")
+    val r = spark.sql(
+      """SELECT src, m.x AS x, m.x_old AS x_old
+        |FROM (SELECT src, label_mode(x, self) AS m FROM lm_t GROUP BY src)
+        |ORDER BY src""".stripMargin).collect()
+    assert(r(0).getLong(1) === 5L && r(0).getLong(2) === 9L)
+    assert(r(1).getLong(1) === 7L && r(1).getLong(2) === 7L)
+  }
+
   // ---------- ADVICE: spreadForScan on shuffle-derived plans ----------
 
   test("spreadForScan is identity (no plan probe) on exchange-bearing inputs") {
