@@ -51,21 +51,34 @@ object LabelPropagation {
     val init = vertices.select(col("id"), col("id").as("x"))
     val cfg = IterConfig(tol = 0.5, maxIter = maxIter, norm = "changed")
 
-    val loop = Iterate.loop(init, cfg, nLinks, "sync-lp") { (state, _) =>
-      // ONE join + ONE aggregate per round (VERDICT r04 #5 rework): the
-      // typed LabelMode aggregate partial-aggregates per-vertex label
-      // histograms map-side, so the single shuffle carries serialized
-      // (label, count) maps — not the exploded (src, label, cnt) relation
-      // the old groupBy(src, label) + groupBy(src) double shuffle moved.
-      // SHJ hint: links are cached pinned on dst; hash-build the O(V) state
-      // side instead of sort-merging (re-sorting) the O(E) links.
-      links
-        .join(state.withColumnRenamed("id", "dst").hint("shuffle_hash"), "dst")
-        .groupBy("src")
-        .agg(graft.functions.LabelMode.labelMode(col("x"), col("self")).as("m"))
-        .select(col("src").as("id"), col("m.x").as("x"),
-          col("m.x_old").as("x_old"))
-    }
+    // LabelMode is a TypedImperativeAggregate -> ObjectHashAggregateExec,
+    // which falls back to SORT-based aggregation once a task's hash map
+    // holds `fallbackThreshold` groups (default 128 — sized for few-group
+    // aggregates like bounded_top_k, not a per-vertex groupBy). Raise it so
+    // the per-task group count (~V/P on the partial side) stays on the hash
+    // path; clamp at 2^17 groups x ~100s of B/histogram ≈ low hundreds of
+    // MB — beyond that (V/P >> 10^5) letting Spark spill to the sort path
+    // IS the safe behavior at the 10^12 design point, not a bug.
+    val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val fbPrev = spark.conf.get(fbKey, "128")
+    spark.conf.set(fbKey,
+      math.min(1L << 17, math.max(128L, 4L * nVertices / nParts)).toString)
+    val loop =
+      try Iterate.loop(init, cfg, nLinks, "sync-lp") { (state, _) =>
+        // ONE join + ONE aggregate per round (VERDICT r04 #5 rework): the
+        // typed LabelMode aggregate partial-aggregates per-vertex label
+        // histograms map-side, so the single shuffle carries serialized
+        // (label, count) maps — not the exploded (src, label, cnt) relation
+        // the old groupBy(src, label) + groupBy(src) double shuffle moved.
+        // SHJ hint: links are cached pinned on dst; hash-build the O(V)
+        // state side instead of sort-merging (re-sorting) the O(E) links.
+        links
+          .join(state.withColumnRenamed("id", "dst").hint("shuffle_hash"), "dst")
+          .groupBy("src")
+          .agg(graft.functions.LabelMode.labelMode(col("x"), col("self")).as("m"))
+          .select(col("src").as("id"), col("m.x").as("x"),
+            col("m.x_old").as("x_old"))
+      } finally spark.conf.set(fbKey, fbPrev)
     links.unpersist()
     Result(
       loop.state.select(col("id"), col("x").as("label")),

@@ -20,7 +20,7 @@ import graft.exec.{GatherStrategy, IterConfig}
 object Scaling {
 
   def run(cores: Int, n: Long, l: Int, iters: Int,
-      strategy: GatherStrategy): (Double, Double, Double) = {
+      strategy: GatherStrategy): (Double, Double, Double, Seq[Double]) = {
     // SPARK_GRAFT_MASTER overrides (e.g. "local-cluster[4,8,8192]": separate
     // executor JVMs — the truest N-vs-4N-executor analog on one box). Ship
     // the app jar via SPARK_GRAFT_JARS (sbt package output) in that mode.
@@ -101,7 +101,7 @@ object Scaling {
       val minIter = steady.map(_.seconds).min
       println(f"[scaling] cores=$cores min_iter_secs=$minIter%.3f " +
         f"edges_per_sec_min=${steady.head.edges / minIter}%.3e")
-      (secs, eps, minIter)
+      (secs, eps, minIter, r.metrics.map(_.seconds))
     } finally spark.stop()
   }
 
@@ -111,6 +111,46 @@ object Scaling {
     try new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
+
+  /** Cumulative (busy, total) jiffies from /proc/stat's aggregate cpu line.
+    * busy = everything but idle+iowait. Diffing two reads gives box-wide
+    * busy-core count over the interval — a SHARP interference signal,
+    * unlike the 60-second-smoothed loadavg (a 25 s iteration disturbed by a
+    * 30 s external burst is invisible to loadavg but unmistakable here). */
+  private def cpuJiffies(): (Long, Long) =
+    try {
+      val cols = scala.io.Source.fromFile("/proc/stat").getLines()
+        .next().trim.split("\\s+").drop(1).map(_.toLong)
+      val total = cols.sum
+      val idle = cols(3) + (if (cols.length > 4) cols(4) else 0L)
+      (total - idle, total)
+    } catch { case _: Throwable => (-1L, -1L) }
+
+  /** Background sampler: every ~2 s append (elapsed-sec, busy-cores,
+    * load1m). Busy-cores is computed from consecutive /proc/stat diffs.
+    * The analysis script joins these against the per-iteration walls to
+    * classify each ITERATION quiet/disturbed (scaling_eff.py). */
+  private final class CpuSampler(t0: Long) extends Thread {
+    setDaemon(true)
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Double, Double, Double)]
+    @volatile private var stopped = false
+    def halt(): Unit = { stopped = true; interrupt() }
+    override def run(): Unit = {
+      var (pb, pt) = cpuJiffies()
+      while (!stopped) {
+        try Thread.sleep(2000) catch { case _: InterruptedException => }
+        if (!stopped) {
+          val (b, t) = cpuJiffies()
+          val cores = java.lang.Runtime.getRuntime.availableProcessors()
+          val busy =
+            if (pb >= 0 && b > pb && t > pt) (b - pb).toDouble / (t - pt) * cores
+            else -1.0
+          out.add(((System.nanoTime() - t0) / 1e9, busy, loadAvg()))
+          pb = b; pt = t
+        }
+      }
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toLong else (1L << 17)
@@ -126,13 +166,29 @@ object Scaling {
     if (single >= 0) {
       val c = args(single + 1).toInt
       val load0 = loadAvg()
-      val (secs, eps, minIter) = run(c, n, l, iters, strat)
+      val t0 = System.nanoTime()
+      val sampler = new CpuSampler(t0)
+      sampler.start()
+      val (secs, eps, minIter, walls) = run(c, n, l, iters, strat)
+      val tReturn = (System.nanoTime() - t0) / 1e9
+      sampler.halt()
       val load1 = loadAvg()
-      println(s"""{"cores":$c,"n":$n,"l":$l,"iters":$iters,"strategy":"$strat","seconds":$secs,"edges_per_sec":$eps,"min_iter_secs":$minIter,"load_before":$load0,"load_after":$load1}""")
+      // walls = every iteration's seconds IN ORDER (warm included); the
+      // iterations run back-to-back and END at ~t_return, so the analysis
+      // reconstructs each iteration's window backwards from t_return and
+      // joins it against cpu_samples to classify quiet/disturbed.
+      val wallsJson = walls.map(w => f"$w%.3f").mkString("[", ",", "]")
+      val samplesJson = {
+        import scala.jdk.CollectionConverters._
+        sampler.out.asScala.map { case (t, busy, ld) =>
+          f"[$t%.1f,$busy%.2f,$ld%.2f]"
+        }.mkString("[", ",", "]")
+      }
+      println(s"""{"cores":$c,"n":$n,"l":$l,"iters":$iters,"strategy":"$strat","seconds":$secs,"edges_per_sec":$eps,"min_iter_secs":$minIter,"load_before":$load0,"load_after":$load1,"t_return":$tReturn,"walls":$wallsJson,"cpu_samples":$samplesJson}""")
       return
     }
     val results = Seq(8, 32).map { c =>
-      val (secs, eps, _) = run(c, n, l, iters, strat)
+      val (secs, eps, _, _) = run(c, n, l, iters, strat)
       (c, secs, eps)
     }
     val t8 = results.find(_._1 == 8).get._2
