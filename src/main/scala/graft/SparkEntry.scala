@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.sources.{Mtx, Synth}
 import graft.extract.Extract
 import graft.graph.{AdjacencyBuilder, VertexDict}
-import graft.algo.{ConnectedComponents, ConnectedComponentsArray, LabelPropagation, LabelPropagationArray, PageRank, SpMV, TriangleCount}
+import graft.algo.{ConnectedComponents, ConnectedComponentsArray, LabelPropagation, LabelPropagationArray, PageRank, SpMV, SpmvLayouts, TriangleCount}
 import graft.exec.{Gather, GatherStrategy, IterConfig}
 import graft.operators.{Ann, Dedup, TextAnalysis}
 
@@ -271,6 +271,27 @@ object SparkEntry {
     "graph_spmv_broadcast" -> ((s, _) =>
       SpMV(Synth.band(s, SPMV_N, SPMV_L), Synth.state(s, SPMV_N),
           Some(s.range(SPMV_N).toDF("id")), GatherStrategy.BroadcastState)
+        .select(col("id"), round(col("x"), 6).as("flow")).orderBy("id")),
+
+    // --- C3+K14: ELLPACK layout (global-max-width padding), row kernel ---
+    "spmv_ellpack" -> ((s, _) =>
+      SpmvLayouts.spmvOnce(s, Synth.band(s, SPMV_N, SPMV_L),
+          Synth.state(s, SPMV_N), SPMV_N, SpmvLayouts.Ellpack,
+          Some(s.range(SPMV_N).toDF("id")))
+        .select(col("id"), round(col("x"), 6).as("flow")).orderBy("id")),
+
+    // --- C4+K5/K12: transposed ELLPACK (column-major padded sweep) ---
+    "spmv_ellpack_t" -> ((s, _) =>
+      SpmvLayouts.spmvOnce(s, Synth.band(s, SPMV_N, SPMV_L),
+          Synth.state(s, SPMV_N), SPMV_N, SpmvLayouts.EllpackT,
+          Some(s.range(SPMV_N).toDF("id")))
+        .select(col("id"), round(col("x"), 6).as("flow")).orderBy("id")),
+
+    // --- C5+K15: dense layout (V^2), naive row dot product ---
+    "spmv_dense" -> ((s, _) =>
+      SpmvLayouts.spmvOnce(s, Synth.band(s, SPMV_N, SPMV_L),
+          Synth.state(s, SPMV_N), SPMV_N, SpmvLayouts.Dense,
+          Some(s.range(SPMV_N).toDF("id")))
         .select(col("id"), round(col("x"), 6).as("flow")).orderBy("id")),
 
     // --- north rule: PageRank (fixed 5 iterations to match unrolled SQL) ---
@@ -564,6 +585,26 @@ object SparkEntry {
          |FROM edges GROUP BY src ORDER BY id""".stripMargin,
 
     "graph_spmv_broadcast" ->
+      s"""WITH ${sqlBand(SPMV_N, SPMV_L)}
+         |SELECT src AS id,
+         |       round(sum(w * (((dst*13) % 1000) + 1) / 1000.0), 6) AS flow
+         |FROM edges GROUP BY src ORDER BY id""".stripMargin,
+
+    // the padded/dense layouts compute the SAME flow as the CSR kernels —
+    // identical oracle, separate lanes so a layout bug fails by name
+    "spmv_ellpack" ->
+      s"""WITH ${sqlBand(SPMV_N, SPMV_L)}
+         |SELECT src AS id,
+         |       round(sum(w * (((dst*13) % 1000) + 1) / 1000.0), 6) AS flow
+         |FROM edges GROUP BY src ORDER BY id""".stripMargin,
+
+    "spmv_ellpack_t" ->
+      s"""WITH ${sqlBand(SPMV_N, SPMV_L)}
+         |SELECT src AS id,
+         |       round(sum(w * (((dst*13) % 1000) + 1) / 1000.0), 6) AS flow
+         |FROM edges GROUP BY src ORDER BY id""".stripMargin,
+
+    "spmv_dense" ->
       s"""WITH ${sqlBand(SPMV_N, SPMV_L)}
          |SELECT src AS id,
          |       round(sum(w * (((dst*13) % 1000) + 1) / 1000.0), 6) AS flow

@@ -241,6 +241,55 @@ class Round5Spec extends SparkSuite {
     assert(r(1).getLong(1) === 7L && r(1).getLong(2) === 7L)
   }
 
+  // ---------- C3/C4/C5 + K14/K15: padded & dense layouts ----------
+
+  test("ELLPACK / transposed-ELLPACK / dense SpMV all equal the CSR oracle kernel") {
+    import graft.algo.{SpMV, SpmvLayouts}
+    // skew graph: irregular out-degrees (2..4 after dedup) exercise padding
+    val edges = Synth.skew(spark, 128)
+    val state = Synth.state(spark, 128)
+    val universe = Some(spark.range(128).toDF("id"))
+    def vals(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      df.orderBy("id").collect().toSeq
+        .map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e9) / 1e9))
+    val want = vals(SpMV(edges, state, universe, GatherStrategy.ShuffleJoin))
+    for (layout <- Seq(SpmvLayouts.Ellpack, SpmvLayouts.EllpackT, SpmvLayouts.Dense)) {
+      val got = vals(SpmvLayouts.spmvOnce(spark, edges, state, 128, layout, universe))
+      assert(got === want, s"layout $layout diverged from the CSR kernel")
+    }
+  }
+
+  test("padded/dense layouts accumulate duplicate edges (reference += semantics)") {
+    import spark.implicits._
+    import graft.algo.SpmvLayouts
+    // (0 -> 1) twice with different weights, plus a single (1 -> 0)
+    val edges = Seq((0L, 1L, 2.0), (0L, 1L, 3.0), (1L, 0L, 1.0)).toDF("src", "dst", "w")
+    val state = Seq((0L, 10.0), (1L, 100.0)).toDF("id", "x")
+    for (layout <- Seq(SpmvLayouts.Ellpack, SpmvLayouts.EllpackT, SpmvLayouts.Dense)) {
+      val got = SpmvLayouts.spmvOnce(spark, edges, state, 2, layout)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got(0L) === 500.0, s"$layout: dup edges must accumulate") // (2+3)*100
+      assert(got(1L) === 10.0)
+    }
+  }
+
+  test("ELLPACK pad accounting: band is padding-free, a hub row pads to width") {
+    import spark.implicits._
+    import graft.algo.SpmvLayouts
+    // const-degree band: width == degree, padRatio exactly 1.0
+    val b = SpmvLayouts.build(spark, Synth.band(spark, 256, 8), 256, SpmvLayouts.Ellpack)
+    assert(b.width === 8 && b.nnz === 256 * 8 && b.padRatio === 1.0)
+    b.unpersist()
+    // 1 hub row of degree 10 + 9 singleton rows: width 10, 100 slots, 19 nnz
+    val hub = (0 until 10).map(j => (0L, j.toLong, 1.0)) ++
+      (1 to 9).map(i => (i.toLong, 0L, 1.0))
+    val h = SpmvLayouts.build(spark, hub.toDF("src", "dst", "w"), 16, SpmvLayouts.Ellpack)
+    assert(h.width === 10 && h.nnz === 19)
+    assert(math.abs(h.padRatio - 100.0 / 19.0) < 1e-12,
+      s"padRatio must be slots/nnz: got ${h.padRatio}")
+    h.unpersist()
+  }
+
   // ---------- ADVICE: spreadForScan on shuffle-derived plans ----------
 
   test("spreadForScan is identity (no plan probe) on exchange-bearing inputs") {
