@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Synth
-import graft.algo.{ConnectedComponents, PageRank, SpMV, TriangleCount}
+import graft.algo.{ConnectedComponents, PageRank, SpMV, SpmvLayouts, TriangleCount}
 import graft.exec.{GatherStrategy, IterConfig}
 import graft.model.IterationMetrics
 import graft.operators.{Ann, Dedup, TextAnalysis}
@@ -161,6 +161,38 @@ object Bench {
         .agg(sum("x")).head()
       Map.empty
     },
+    "spmv_ellpack_220" -> { s =>
+      // C3+K14 on the const-degree band — the padded layout's DESIGN case
+      // (width == degree == 96, pad_ratio exactly 1.0, the reference's
+      // const-row-length synth family). Build split out; x10 pass
+      // amortization over the SAME built layout (reference A2), state
+      // packed once so per-pass walls time the kernel alone.
+      ellpackLane(s, "spmv_ellpack_220", Synth.band(s, 1L << 20, 96),
+        1L << 20, SpmvLayouts.Ellpack, passes = 10)
+    },
+    "spmv_ellpack_t_220" -> { s =>
+      // C4 + the K5/K12 column-major sweep on the same input: the
+      // transposed layout's sequential-stream claim, measured against
+      // spmv_ellpack_220's row kernel.
+      ellpackLane(s, "spmv_ellpack_t_220", Synth.band(s, 1L << 20, 96),
+        1L << 20, SpmvLayouts.EllpackT, passes = 10)
+    },
+    "spmv_ellpack_skew" -> { s =>
+      // the reference's OWN anti-pattern measurement (crankseg_2 pads
+      // 13.4x, matricesWithELPACK.csv:4) reproduced in-engine: the same
+      // 200k hub-skewed matrix mtx_spmv_skew runs on the CSR path pads to
+      // width 1024 here (~122x slots/nnz) — pad_ratio and edges/s land in
+      // the artifact next to the CSR lane's.
+      val (h, edges) = graft.sources.Mtx.read(s, skewMtxPath(s))
+      ellpackLane(s, "spmv_ellpack_skew", edges, h.rows,
+        SpmvLayouts.Ellpack, passes = 5)
+    },
+    "spmv_dense_212" -> { s =>
+      // C5+K15: V^2 dense tier at the largest sane V (2^12: 134 MB) — the
+      // lane exists to measure the storage blow-up, not to recommend it.
+      ellpackLane(s, "spmv_dense_212", Synth.band(s, 1L << 12, 96),
+        1L << 12, SpmvLayouts.Dense, passes = 10)
+    },
     "pagerank_220_convergence" -> { s =>
       // full convergence to 1e-6 — the BASELINE.json headline metric.
       // L1 (total-variation) norm: per-vertex scores scale as 1/V, so an
@@ -244,6 +276,42 @@ object Bench {
   /** Deterministic skewed .mtx fixture for the mtx lane, written once per
     * JVM (64 hub rows x 1024 nnz + deg-8 tail over 200k rows, ~1.7M nnz —
     * the head/tail skew shape of the reference's SuiteSparse set). */
+  /** Shared shape of the padded/dense-layout lanes: build once (timed,
+    * reported), pack the state once, run `passes` kernel passes, report the
+    * min pass wall + layout accounting. */
+  private def ellpackLane(
+      s: SparkSession,
+      name: String,
+      edges: DataFrame,
+      n: Long,
+      layout: SpmvLayouts.Layout,
+      passes: Int): Map[String, Double] = {
+    val t0 = System.nanoTime()
+    val built = SpmvLayouts.build(s, edges, n, layout)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    val packed = {
+      import s.implicits._
+      val xs = new Array[Double](n.toInt)
+      Synth.state(s, n).as[(Long, Double)].collect()
+        .foreach { case (i, v) => xs(i.toInt) = v }
+      graft.algo.PageRankArray.packD(xs)
+    }
+    var minPass = Double.MaxValue
+    var i = 0
+    while (i < passes) {
+      val p0 = System.nanoTime()
+      SpmvLayouts.spmvPacked(s, built, packed).agg(sum("x")).head()
+      val dt = (System.nanoTime() - p0) / 1e9
+      if (dt < minPass) minPass = dt
+      i += 1
+    }
+    built.unpersist()
+    Map(s"${name}_build_sec" -> buildSec,
+      s"${name}_pad_ratio" -> built.padRatio,
+      s"${name}_min_pass_sec" -> minPass,
+      s"${name}_edges_per_sec" -> built.nnz / minPass)
+  }
+
   private lazy val skewMtxFile: String = {
     val dir = if (java.nio.file.Files.isDirectory(
       java.nio.file.Paths.get("/dev/shm"))) "/dev/shm" else sys.props("java.io.tmpdir")
@@ -337,6 +405,11 @@ object Bench {
     "lp_blocks_1m" -> 5,
     "lp_array_1m" -> 5,
     "mtx_real_lfat5" -> 3,
+    // the padded/dense layout lanes already amortize x10 passes per run
+    "spmv_ellpack_220" -> 3,
+    "spmv_ellpack_t_220" -> 3,
+    "spmv_ellpack_skew" -> 3,
+    "spmv_dense_212" -> 3,
     "dedup_minhash_sf" -> 5)
 
   /** Shared-box load gate (VERDICT r03 #8): one external load spike during

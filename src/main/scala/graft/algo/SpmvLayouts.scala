@@ -208,7 +208,19 @@ object SpmvLayouts {
     state.select(col("id"), col("x"))
       .as[(Long, Double)].collect()
       .foreach { case (i, v) => xs(i.toInt) = v }
-    val bc = spark.sparkContext.broadcast(PageRankArray.packD(xs))
+    spmvPacked(spark, built, PageRankArray.packD(xs), vertices)
+  }
+
+  /** Same pass, state pre-packed by the caller — the multi-pass bench lanes
+    * collect/pack the x vector ONCE and re-apply it, so per-pass walls time
+    * the kernel, not a repeated O(V) state collect. */
+  def spmvPacked(
+      spark: SparkSession,
+      built: Built,
+      packed: Array[Byte],
+      vertices: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(packed)
     val isDense = built.layout == Dense
     val transposed = built.layout == EllpackT
     val flowRdd = built.blocks.mapPartitions { it =>
