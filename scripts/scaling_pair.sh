@@ -44,8 +44,18 @@ run_level() { # $1 = executors, $2 = label cores
   SPARK_GRAFT_MASTER="local-cluster[$1,$EXC,16384]" \
   /opt/spark/bin/spark-submit --driver-memory 8g \
     --conf spark.executor.memory=14g \
+    --conf spark.network.timeout=600s \
     --class graft.bench.Scaling "$JAR" "$N" "$L" "$ITERS" --cores "$2" $EXTRA 2>/dev/null \
     | grep '^{' >> "$OUT"
+  # ^ network.timeout 600s: this virtualized box intermittently freezes JVM
+  # threads for 10 s+ (dmesg "sched: DL replenish lagged", codegen walls of
+  # 7.7 s, executor->driver heartbeat RPCs timing out at the 10 s ask
+  # limit). At the default 120 s expiry the driver declares the executor
+  # dead mid-leg and SIGTERMs it; the lost cache + shuffle blocks then
+  # trigger a recompute storm that inflates 4N iteration walls 3-10x
+  # (observed: one leg churned through 161 executor replacements). Raising
+  # the expiry rides out the freezes; the min-of-quiet-iterations estimator
+  # absorbs the frozen iterations as noise.
 }
 
 for r in $(seq 1 "$ROUNDS"); do

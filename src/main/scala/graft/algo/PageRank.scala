@@ -127,8 +127,9 @@ object PageRank {
         // zero self-contributions guarantee every vertex appears: the gather
         // output IS the dense state, no completion join. The same diagonal
         // rows carry each vertex's OLD state out of the gather aggregate
-        // (withOldState), feeding the loop's fused convergence delta — a
-        // convergence-mode iteration is ONE job, no old-vs-new dist join.
+        // (withOldState), feeding the loop's fused convergence delta — the
+        // delta is a join-free scan of the materialized state, never an
+        // old-vs-new dist join.
         val completed = Gather
           .gather(norm, state, keyCol = "dst", lookupCol = "src", pCol = "p",
             resolved, withOldState = true)

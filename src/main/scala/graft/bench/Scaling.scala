@@ -74,11 +74,12 @@ object Scaling {
       val ckpt = sys.env.getOrElse("SPARK_GRAFT_CKPT", "1").toInt
       // SPARK_GRAFT_TOL: >0 runs CONVERGENCE mode — the north-rule metric
       // is per-iteration throughput of "PageRank to 1e-6 convergence", and
-      // since r05 a convergence-mode iteration costs the same ONE job as
-      // fixed mode (the delta is fused into the materialization job; see
-      // Iterate). Default 1e-300 with norm=l1: the fused delta is computed
-      // and checked every iteration but never stops the loop early, so both
-      // cluster sizes run the IDENTICAL iteration count.
+      // since r05 a convergence-mode iteration costs fixed mode's
+      // materialization job plus ONE job-floor-priced scan-agg delta over
+      // the cached state (join-free; see Iterate). Default 1e-300 with
+      // norm=l1: the delta is computed and checked every iteration but
+      // never stops the loop early, so both cluster sizes run the
+      // IDENTICAL iteration count.
       val tol = sys.env.getOrElse("SPARK_GRAFT_TOL", "1e-300").toDouble
       val cfg = IterConfig(tol = tol, maxIter = iters + warm,
         checkpointEvery = ckpt, norm = "l1")

@@ -70,7 +70,8 @@ object Gather {
     *   expression. Requires `msgs` to contain one diagonal row per key
     *   (PageRank's zero-weight self-contribution rows provide exactly that).
     *   This is what feeds the loop's fused convergence delta
-    *   (Iterate/IterConfig: one job per convergence-mode iteration). */
+    *   (Iterate/IterConfig: the delta becomes a join-free scan-agg of the
+    *   materialized state — no old-vs-new shuffle join). */
   def gather(
       msgs: DataFrame,
       state: DataFrame,

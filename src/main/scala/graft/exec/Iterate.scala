@@ -29,17 +29,21 @@ import graft.model.IterationMetrics
   *   V·maxLabel > 2^63 and loses exactness in double above 2^53 — a silent
   *   wrong-convergence hazard on the 10^12-vertex design path).
   *   HOW the delta is computed depends on the step's output shape: a step
-  *   that emits (id, x, x_old) gets the FUSED path — the delta accumulates
-  *   inside the materialization job itself (a task-side accumulator in the
-  *   final projection), so a convergence-mode iteration is ONE Spark job,
-  *   with no old-vs-new join and no second pass (VERDICT r04 #1: the
-  *   per-iteration `dist` join was the measured serial term limiting N->4N
-  *   scaling). A step that emits only (id, x) falls back to the legacy
-  *   `dist` join. Accumulator caveat, why this is safe: a speculated or
-  *   retried task can double-count its rows, which can only INFLATE an
-  *   additive delta (l1/changed: non-negative terms) and cannot change a
-  *   max (linf) — so a fused delta may run one extra iteration under task
-  *   retry, but can never stop early wrongly.
+  *   that emits (id, x, x_old) gets the FUSED path — x_old rides through
+  *   the iteration's materialization (one extra 8 B column in the cached
+  *   state), and the delta is then a JOIN-FREE O(V) scan-aggregate over the
+  *   just-materialized in-memory state: partial agg per partition + a 1-row
+  *   final — a job-floor-priced action, vs r04's `dist` which re-shuffled
+  *   and hash-joined old-vs-new state every iteration (VERDICT r04 #1: the
+  *   measured serial term limiting N->4N scaling). A step that emits only
+  *   (id, x) falls back to the legacy `dist` join.
+  *   (First fused design used a task-side accumulator inside a typed map to
+  *   make the iteration literally one job; RETIRED after N->4N legs showed
+  *   the object-serde boundary erases the aggregate's hash partitioning —
+  *   the next iteration's state join re-shuffles — and the extra AQE stage
+  *   multiplies exposure to this host's scheduler freezes. The scan-agg
+  *   pays one job-floor (~40 ms) instead and keeps the plan columnar
+  *   end-to-end.)
   *   For PageRank the state is a probability vector whose
   *   entries scale as 1/V, so an ABSOLUTE linf tolerance of 1e-6 is
   *   trivially satisfied at V >= 10^6 after one step and meaningless at
@@ -55,23 +59,6 @@ final case class IterConfig(
 
 final case class LoopResult(state: DataFrame, metrics: Seq[IterationMetrics])
 
-/** Task-side convergence-delta accumulator for the fused path: additive
-  * (l1 / changed-count) or max (linf). Registered fresh per iteration; the
-  * driver reads it right after the materialization job completes. */
-final class DeltaAccumulator(isMax: Boolean)
-    extends org.apache.spark.util.AccumulatorV2[Double, Double] {
-  private var v = 0.0
-  override def isZero: Boolean = v == 0.0
-  override def copy(): DeltaAccumulator = {
-    val a = new DeltaAccumulator(isMax); a.v = v; a
-  }
-  override def reset(): Unit = v = 0.0
-  override def add(x: Double): Unit = v = if (isMax) math.max(v, x) else v + x
-  override def merge(o: org.apache.spark.util.AccumulatorV2[Double, Double]): Unit =
-    add(o.value)
-  override def value: Double = v
-}
-
 object Iterate {
 
   /** Distance between two (id, x) states: "linf" max-delta, "l1" sum, or
@@ -81,7 +68,8 @@ object Iterate {
     * the aggregate is cast to double AFTER the sum/max, so long states keep
     * exact integer arithmetic inside the aggregation.
     * LEGACY fallback: steps that emit (id, x, x_old) never call this — the
-    * loop fuses the delta into the materialization job (see IterConfig). */
+    * loop computes a join-free scan delta over the materialized state
+    * instead (see IterConfig / scanDelta). */
   def dist(oldState: DataFrame, newState: DataFrame,
       norm: String = "linf"): Double = {
     val d = abs(col("x") - col("x_old"))
@@ -97,37 +85,21 @@ object Iterate {
     if (row.isNullAt(0)) 0.0 else row.getDouble(0)
   }
 
-  /** Fused-delta wrapper: strips the step's `x_old` column while adding each
-    * row's contribution to `acc` inside the SAME materialization job. Typed
-    * map (codegen'd tuple encoders), two dtype paths: Double states
-    * (PageRank) and Long label states (CC/LP). For Long states use
-    * norm="changed": the comparison is exact at any magnitude, whereas an
-    * l1/linf |x - x_old| on labels would round through double above 2^53. */
-  private def fuseDelta(stepped: DataFrame, norm: String,
-      acc: DeltaAccumulator): DataFrame = {
-    val sp = stepped.sparkSession
-    import sp.implicits._
-    val cols = stepped.select(col("id"), col("x"), col("x_old"))
-    stepped.schema("x").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        val ds = cols.as[(Long, Long, Long)]
-        (norm match {
-          case "changed" => ds.map { t =>
-            if (t._2 != t._3) acc.add(1.0); (t._1, t._2) }
-          case "l1" => ds.map { t =>
-            acc.add(math.abs(t._2.toDouble - t._3.toDouble)); (t._1, t._2) }
-          case _ => ds.map { t =>
-            acc.add(math.abs(t._2.toDouble - t._3.toDouble)); (t._1, t._2) }
-        }).toDF("id", "x")
-      case _ =>
-        val ds = cols.as[(Long, Double, Double)]
-        (norm match {
-          case "changed" => ds.map { t =>
-            if (t._2 != t._3) acc.add(1.0); (t._1, t._2) }
-          case _ => ds.map { t =>
-            acc.add(math.abs(t._2 - t._3)); (t._1, t._2) }
-        }).toDF("id", "x")
+  /** Join-free convergence delta over a MATERIALIZED (id, x, x_old) state:
+    * an O(V) scan of the in-memory relation, partial-aggregated per
+    * partition, 1-row final — no shuffle of data, no old-vs-new join, no
+    * object serde. For Long label states use norm="changed": the comparison
+    * is exact at any magnitude, whereas an l1/linf |x - x_old| on labels
+    * would round through double above 2^53 (the retired msum hazard). */
+  private def scanDelta(materialized: DataFrame, norm: String): Double = {
+    val d = abs(col("x") - col("x_old"))
+    val agg = norm match {
+      case "l1"      => sum(d)
+      case "changed" => sum((col("x") =!= col("x_old")).cast("long"))
+      case _         => max(d)
     }
+    val row = materialized.agg(agg.cast("double").as("d")).head()
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
   }
 
   /** L-infinity distance between two (id, x) states. */
@@ -177,6 +149,7 @@ object Iterate {
       strategyName: String,
       startIter: Int)(step: (DataFrame, Int) => DataFrame): LoopResult = {
     var state = init.localCheckpoint(true)
+    var mat = state // the materialized generation (owns the cache blocks)
     val sc = init.sparkSession.sparkContext
     val collector = TaskMetricsCollector.attach(sc)
     var snap = collector.snapshot()
@@ -188,20 +161,16 @@ object Iterate {
       collector.resetMax()
       val steppedRaw = step(state, iter)
       // FUSED convergence (VERDICT r04 #1): a step that emits (id, x, x_old)
-      // gets its delta accumulated task-side inside the materialization job
-      // — the whole iteration is ONE job, no old-vs-new join. tol <= 0
-      // (fixed-iteration mode) just strips x_old.
+      // carries the old state THROUGH the materialization (one extra cached
+      // column), and the delta is a join-free scan-agg of the materialized
+      // result — no old-vs-new shuffle join, no object boundary (see the
+      // IterConfig scaladoc for the retired accumulator design). tol <= 0
+      // (fixed-iteration mode) just strips x_old before caching.
       val fused = steppedRaw.columns.contains("x_old")
-      var acc: Option[DeltaAccumulator] = None
+      val keepOld = fused && cfg.tol > 0.0
       val stepped =
-        if (!fused) steppedRaw
-        else if (cfg.tol <= 0.0) steppedRaw.select(col("id"), col("x"))
-        else {
-          val a = new DeltaAccumulator(cfg.norm == "linf")
-          sc.register(a, s"graft.delta.$iter")
-          acc = Some(a)
-          fuseDelta(steppedRaw, cfg.norm, a)
-        }
+        if (fused && !keepOld) steppedRaw.select(col("id"), col("x"))
+        else steppedRaw
       // localCheckpoint (not persist) every k iterations: persist alone
       // truncates recompute but NOT the logical plan, which otherwise grows
       // linearly and blows up the planner/AQE by iteration ~100.
@@ -209,20 +178,18 @@ object Iterate {
         if ((iter + 1) % cfg.checkpointEvery == 0) stepped.localCheckpoint(true)
         else stepped.persist(StorageLevel.MEMORY_AND_DISK)
       // fixed-iteration mode (tol <= 0) never stops on delta: skip the
-      // O(V) convergence join — one fewer job per iteration.
+      // convergence action — one fewer job per iteration.
       delta =
         if (cfg.tol <= 0.0) { // localCheckpoint(true) already materialized
           if ((iter + 1) % cfg.checkpointEvery != 0) next.count()
           Double.MaxValue
-        } else acc match {
-          case Some(a) =>
-            // fused: materialize (localCheckpoint(true) already ran the
-            // job; the persist branch needs one action), then read the
-            // accumulator the job populated.
-            if ((iter + 1) % cfg.checkpointEvery != 0) next.count()
-            a.value
-          case None => dist(state, next, cfg.norm) // action: materializes next
-        }
+        } else if (keepOld) {
+          // materialize (localCheckpoint(true) already ran the job; the
+          // persist branch needs one action), then the job-floor-priced
+          // O(V) scan delta over the fresh cache.
+          if ((iter + 1) % cfg.checkpointEvery != 0) next.count()
+          scanDelta(next, cfg.norm)
+        } else dist(state, next, cfg.norm) // action: materializes next
       val secs = (System.nanoTime() - t0) / 1e9
       // shuffle/skew deltas for this iteration's window (async listener:
       // values are exact once the bus drains; see TaskMetricsCollector)
@@ -235,8 +202,12 @@ object Iterate {
         strategyName,
         shuffleReadBytes = d.shuffleRead, shuffleWriteBytes = d.shuffleWrite,
         taskSkew = d.skew)
-      state.unpersist()
-      state = next
+      mat.unpersist()
+      mat = next
+      // steps, snapshots, and the result see the (id, x) shape; the
+      // projection is a plan-only prune over the cached relation (x_old is
+      // never scanned again), partitioning preserved.
+      state = if (keepOld) next.select("id", "x") else next
       iter += 1
       cfg.snapshotDir.foreach { dir =>
         if (iter % cfg.snapshotEvery == 0 || delta < cfg.tol)

@@ -41,10 +41,15 @@ class Round5Spec extends SparkSuite {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
-  test("r04 #1: a convergence-mode PageRank ShuffleJoin iteration is ONE job") {
+  test("r04 #1: a convergence-mode ShuffleJoin iteration is 2 jobs, join-free delta") {
     // Same run at two iteration counts; tol tiny so delta never stops the
     // loop. The difference isolates the per-iteration job count — setup
     // (normalize, dangling, init) and teardown jobs cancel out exactly.
+    // 2 jobs = the materialization job + the O(V) scan-agg delta over the
+    // just-cached state (job-floor cost, NO old-vs-new shuffle join —
+    // r04's dist() was a third job AND a join; the retired one-job
+    // accumulator fusion broke the state's hash partitioning, see
+    // Iterate's IterConfig scaladoc).
     def jobs(iters: Int): Int = countJobs {
       PageRank.run(spark, Synth.band(spark, 256, 4), 256,
         cfg = IterConfig(tol = 1e-300, maxIter = iters, norm = "l1"),
@@ -52,9 +57,9 @@ class Round5Spec extends SparkSuite {
     }
     val j3 = jobs(3)
     val j6 = jobs(6)
-    assert(j6 - j3 === 3,
-      s"each convergence-mode iteration must cost exactly 1 job " +
-        s"(fused delta, no dist join): got ${j6 - j3} jobs/iter ($j3 -> $j6)")
+    assert(j6 - j3 === 6,
+      s"each convergence-mode iteration must cost exactly 2 jobs " +
+        s"(materialize + scan delta, no dist join): got ${j6 - j3} jobs per 3 iters ($j3 -> $j6)")
   }
 
   test("r04 #1: fused-l1 delta stops the loop and computes the same states") {
@@ -147,8 +152,8 @@ class Round5Spec extends SparkSuite {
     val r = LabelPropagation.run(spark, Synth.blocks(spark, 120, 30), 120,
       maxIter = 1)
     assert(r.labels.count() === 120)
-    // job-count form: one LP round = 1 job (fused convergence), same
-    // two-config isolation as the PageRank test
+    // job-count form: one LP round = 2 jobs (materialize + join-free scan
+    // delta), same two-config isolation as the PageRank test
     def jobs(iters: Int): Int = countJobs {
       LabelPropagation.run(spark, Synth.blocks(spark, 120, 30), 120,
         maxIter = iters)
@@ -156,8 +161,8 @@ class Round5Spec extends SparkSuite {
     // blocks(120,30) sync-LP needs >6 rounds to settle, so both runs hit
     // the cap and the difference is pure per-iteration cost
     val j2 = jobs(2); val j4 = jobs(4)
-    assert(j4 - j2 === 2,
-      s"each LP round must cost exactly 1 job: got ${j4 - j2} jobs per 2 rounds")
+    assert(j4 - j2 === 4,
+      s"each LP round must cost exactly 2 jobs: got ${j4 - j2} jobs per 2 rounds")
   }
 
   // ---------- #5: LSH joins ship no arrays before pair-dedup ----------
