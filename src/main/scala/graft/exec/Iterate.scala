@@ -184,10 +184,14 @@ object Iterate {
           if ((iter + 1) % cfg.checkpointEvery != 0) next.count()
           Double.MaxValue
         } else if (keepOld) {
-          // materialize (localCheckpoint(true) already ran the job; the
-          // persist branch needs one action), then the job-floor-priced
-          // O(V) scan delta over the fresh cache.
-          if ((iter + 1) % cfg.checkpointEvery != 0) next.count()
+          // The scan-agg delta ITSELF materializes the persist-branch cache:
+          // InMemoryRelation builds its full-row cached batches on the first
+          // scan regardless of the projection on top, so a count() first
+          // would pay a second O(V) job per non-checkpoint iteration for
+          // nothing (measured serial term at CKPT=3: the count+scan pair
+          // was 2 jobs where 1 does both). Checkpoint-boundary iterations
+          // were already materialized eagerly by localCheckpoint(true);
+          // there the scan is the usual job-floor-priced cache pass.
           scanDelta(next, cfg.norm)
         } else dist(state, next, cfg.norm) // action: materializes next
       val secs = (System.nanoTime() - t0) / 1e9

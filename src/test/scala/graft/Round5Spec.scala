@@ -62,6 +62,25 @@ class Round5Spec extends SparkSuite {
         s"(materialize + scan delta, no dist join): got ${j6 - j3} jobs per 3 iters ($j3 -> $j6)")
   }
 
+  test("r04 #1: CKPT=3 convergence iterations cost 4 jobs per 3 iterations") {
+    // Non-checkpoint iterations persist lazily; the scan-agg delta is the
+    // ONE action that both materializes the cache and computes the delta
+    // (InMemoryRelation builds full-row batches on first scan, whatever the
+    // projection). Only the checkpoint-boundary iteration pays 2 jobs
+    // (eager localCheckpoint + scan). 3 iterations = 1 + 1 + 2 = 4 jobs.
+    def jobs(iters: Int): Int = countJobs {
+      PageRank.run(spark, Synth.band(spark, 256, 4), 256,
+        cfg = IterConfig(tol = 1e-300, maxIter = iters, norm = "l1",
+          checkpointEvery = 3),
+        strategy = GatherStrategy.ShuffleJoin)
+    }
+    val j3 = jobs(3)
+    val j6 = jobs(6)
+    assert(j6 - j3 === 4,
+      s"CKPT=3 must cost 4 jobs per 3 iterations (scan delta doubles as " +
+        s"the persist materializer): got ${j6 - j3} ($j3 -> $j6)")
+  }
+
   test("r04 #1: fused-l1 delta stops the loop and computes the same states") {
     val n = 200L
     val conv = PageRank.run(spark, Synth.band(spark, n, 4), n,
