@@ -17,6 +17,12 @@ PARTS=${PARTS:-24}
 MAXLOAD=${MAXLOAD:-3.0}
 OUT=${OUT:-/tmp/scaling_runs.jsonl}
 EXTRA=${EXTRA:-}   # extra Scaling args, e.g. --broadcast
+# executor heap: at L>=192 the cached edge table outgrows 14g's storage
+# fraction on the single-executor N leg and the resulting spill slows ONLY
+# that level (a confound that would flatter the ratio) — size it so neither
+# level spills
+EXECMEM=${EXECMEM:-14g}
+WORKER_MB=${WORKER_MB:-16384}  # local-cluster worker OFFER; must be >= EXECMEM
 JAR=target/scala-2.13/parallelizinggraphalgorithmsspark_2.13-0.1.0.jar
 
 wait_quiet() {
@@ -39,11 +45,12 @@ run_level() { # $1 = executors, $2 = label cores
   # 403M edges crawled at ~5 busy cores for 20+ min).
   SPARK_GRAFT_KERNEL=${KERNEL:-shuffle} SPARK_GRAFT_PARTS=$PARTS \
   SPARK_GRAFT_CKPT=${CKPT:-1} \
+  SPARK_GRAFT_CONF="${CONF:-}" \
   SPARK_SCALA_VERSION=2.13 \
   SPARK_LOCAL_DIRS=/dev/shm/graft-spark \
-  SPARK_GRAFT_MASTER="local-cluster[$1,$EXC,16384]" \
+  SPARK_GRAFT_MASTER="local-cluster[$1,$EXC,$WORKER_MB]" \
   /opt/spark/bin/spark-submit --driver-memory 8g \
-    --conf spark.executor.memory=14g \
+    --conf spark.executor.memory=$EXECMEM \
     --conf spark.network.timeout=600s \
     --class graft.bench.Scaling "$JAR" "$N" "$L" "$ITERS" --cores "$2" $EXTRA 2>/dev/null \
     | grep '^{' >> "$OUT"

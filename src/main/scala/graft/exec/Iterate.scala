@@ -128,9 +128,14 @@ object Iterate {
     // hinted joins) and AQE re-planning is pure per-iteration driver
     // latency — off is 1.4-1.5x faster (pagerank_220_shuffle 12.0->7.9 s,
     // cc_blocks_1m 14.8->10.4 s; Bench.session sets off). On separate-JVM
-    // executors (local-cluster / a real cluster) AQE's runtime coalescing
-    // and join conversion EARN their cost: forcing it off measured 2x
-    // slower 4N iterations in the N->4N scaling protocol — default keep.
+    // executors (local-cluster / a real cluster) AQE used to EARN its cost
+    // here: with the r04 per-iteration dist() join, forcing it off measured
+    // 2x slower 4N iterations in the N->4N scaling protocol. With that join
+    // fused away (r05) the gap flipped to a slight AQE-off win (4N leg
+    // min-iteration 4.85 s off vs 5.24 s on, 201M-edge probe) — the
+    // remaining per-iteration serial term is mostly scheduler/stage
+    // round-trips, which AQE adds to. Default still keep: the delta is
+    // within box noise and a real cluster wants AQE for skew/coalescing.
     val sess = init.sparkSession
     val aqeOff = sess.conf.get("spark.graft.loop.aqe", "keep") == "off"
     if (!aqeOff) loopBody(init, cfg, edgesPerIter, strategyName, startIter)(step)
