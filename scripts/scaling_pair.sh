@@ -52,6 +52,13 @@ run_level() { # $1 = executors, $2 = label cores
   /opt/spark/bin/spark-submit --driver-memory 8g \
     --conf spark.executor.memory=$EXECMEM \
     --conf spark.network.timeout=600s \
+    --conf "spark.executor.extraJavaOptions=-XX:ParallelGCThreads=$EXC -XX:ConcGCThreads=2" \
+    `# GC threads sized to the executor's cores, not the box's: JVM` \
+    `# ergonomics sees all 32 host cores and spawns ~23 parallel GC` \
+    `# threads PER executor JVM — 4 executors x 23 GC threads stampeding` \
+    `# 32 cores inflated 4N iteration CPU ~4x vs the N leg (measured via` \
+    `# jstack/task-CPU on the r5 campaign). A real cluster's container` \
+    `# gets exactly this: GC parallelism = its cpuset, both levels alike.` \
     --class graft.bench.Scaling "$JAR" "$N" "$L" "$ITERS" --cores "$2" $EXTRA 2>/dev/null \
     | grep '^{' >> "$OUT"
   # ^ network.timeout 600s: this virtualized box intermittently freezes JVM
