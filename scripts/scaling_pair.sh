@@ -72,8 +72,21 @@ run_level() { # $1 = executors, $2 = label cores
   # absorbs the frozen iterations as noise.
 }
 
+# Executor SHAPE per level. Default (legacy, r4 protocol): one $EXC-core
+# executor at N vs four at 4N. That shape gives the N level a subsidy no
+# real cluster has: with a single executor ALL shuffle blocks are
+# same-JVM local reads, while the 4N level pushes 3/4 of shuffle bytes
+# through netty. A real N->4N scale-up adds executors of the SAME shape,
+# and its remote-shuffle fraction barely moves ((N-1)/N -> (4N-1)/4N).
+# Set EXEC_N/EXEC_4N (executor counts) + EXC (cores per executor) for an
+# equal-shape run, e.g. EXEC_N=6 EXEC_4N=24 EXC=1: remote fraction 5/6 vs
+# 23/24 — near-equal, like a real cluster.
+EXEC_N=${EXEC_N:-1}
+EXEC_4N=${EXEC_4N:-4}
 for r in $(seq 1 "$ROUNDS"); do
-  echo "[pair] round $r N" >&2;  run_level 1 "$EXC"
-  echo "[pair] round $r 4N" >&2; run_level 4 "$((EXC * 4))"
+  echo "[pair] round $r N ($EXEC_N x $EXC)" >&2
+  run_level "$EXEC_N" "$((EXC * EXEC_N))"
+  echo "[pair] round $r 4N ($EXEC_4N x $EXC)" >&2
+  run_level "$EXEC_4N" "$((EXC * EXEC_4N))"
 done
 echo "[pair] done" >&2
