@@ -35,6 +35,13 @@ echo "[watch] launching equal-shape supplement" >&2
 export N=2097152 L=288 ITERS=10 CKPT=3
 export EXC=2 EXEC_N=3 EXEC_4N=12 PARTS=96
 export EXECMEM=8g WORKER_MB=9216 MAXLOAD=3.0
+# spark.locality.wait=0s for BOTH levels: the default 3 s makes the
+# scheduler idle a slot for up to 3 s waiting for process-locality on
+# cached state blocks — after persist/checkpoint cycles the blocks are
+# not perfectly balanced, and the stall hits the wide level hardest
+# (legacy 4N legs measured ~17/24 cores busy in steady state). Standard
+# tuning for iterative workloads; identical at N and 4N.
+export CONF="spark.locality.wait=0s"
 export ROUNDS=${ROUNDS:-3}
 export OUT=/root/repo/scripts/scaling_evidence_r5_eqshape.jsonl
 ./scripts/scaling_pair.sh
