@@ -34,7 +34,12 @@ fi
 echo "[watch] launching equal-shape supplement" >&2
 export N=2097152 L=288 ITERS=10 CKPT=3
 export EXC=2 EXEC_N=3 EXEC_4N=12 PARTS=96
-export EXECMEM=8g WORKER_MB=9216 MAXLOAD=3.0
+# 10g per 2-core executor = 5 GB/core at BOTH levels (>= the legacy
+# protocol's 4 GB/core): the N level's 3 executors each cache ~1/3 of the
+# 604M-edge adjacency (~4 GB) — at 8g heap that sits on the storage
+# ceiling and evicts under execution pressure, slowing ONLY the N leg (a
+# confound that would flatter the ratio). Neither level may spill.
+export EXECMEM=10g WORKER_MB=11264 MAXLOAD=3.0
 # spark.locality.wait=0s for BOTH levels: the default 3 s makes the
 # scheduler idle a slot for up to 3 s waiting for process-locality on
 # cached state blocks — after persist/checkpoint cycles the blocks are
