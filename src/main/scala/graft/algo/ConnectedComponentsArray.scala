@@ -58,7 +58,7 @@ object ConnectedComponentsArray {
     // array — CC gathers ids only, so CSR here is 4 B/edge colInd + rowPtr;
     // shared with LabelPropagationArray via graft.graph.CsrBlocks)
     val (blocks, dstsByPart, nEdges) =
-      graft.graph.CsrBlocks.build(edges, nParts)
+      graft.graph.CsrBlocks.build(edges, nVertices, nParts)
 
     val sc = spark.sparkContext
     val metrics = scala.collection.mutable.ArrayBuffer.empty[IterationMetrics]

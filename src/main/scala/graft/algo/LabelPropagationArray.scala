@@ -49,7 +49,7 @@ object LabelPropagationArray {
     val n = nVertices.toInt
     val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
-    val (blocks, dstsByPart, nEdges) = CsrBlocks.build(edges, nParts)
+    val (blocks, dstsByPart, nEdges) = CsrBlocks.build(edges, nVertices, nParts)
 
     val sc = spark.sparkContext
     val metrics = scala.collection.mutable.ArrayBuffer.empty[IterationMetrics]

@@ -131,184 +131,77 @@ object PageRankArray {
     // one-time CSR build (in-neighbor orientation; reference C1+C2), cached
     // DESERIALIZED as one flat block per partition: iterations touch
     // primitive arrays directly — no columnar decode, no object-per-vertex.
-    // Normalize join, smallest-shuffle physical shape by V:
-    //   - V <= 8M (always true in this kernel's broadcast regime at bench
-    //     shapes): BROADCAST the O(V) weight side — the O(E) edge stream
-    //     never shuffles for the join at all (one O(E) shuffle remains in
-    //     the whole build: the repartition-by-dst below);
-    //   - larger V: shuffle_hash — the weight side builds the hash table;
-    //     default SMJ would SORT the O(E) edge side just to normalize it
-    //     (measured in the 403M-edge build wall).
-    // persisted at its O(V) aggregate output: outW is consumed TWICE (the
-    // normalize-join build side and the dangling-set collect below) — without
-    // the persist each consumer re-runs the O(E) aggregation scan, two of
-    // the four full edge passes in the r03 157 s build wall.
+    //
+    // r06 fast path (guide §2.3/§3.1; measured with graft.bench.BuildProbe,
+    // before/after in OPTIMIZATION_r06.md): the normalize JOIN is gone —
+    // the O(V) out-weight aggregate is collected into a primitive double[]
+    // and broadcast, so normalization is an array lookup inside the build's
+    // map tasks (no driver-side hashed relation, no per-edge join probe) —
+    // and the O(E) exchange ships packed 12-16 B/edge column blobs through
+    // a RANGE partitioner instead of 32 B/edge UnsafeRows through a hash
+    // exchange (graft.graph.RangedCsr: bulk-memcpy serde both sides, and
+    // the downstream CSR grouping indexes rows by (dst - base) — no
+    // per-edge hash map at all).
     val outW = edges.groupBy("src").agg(
       (if (weighted) sum("w") else count(lit(1)).cast("double")).as("wtot"))
       .filter(col("wtot") > 0) // wtot<=0 -> dangling, not NaN (see PageRank)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val outWSide =
-      if (nVertices <= (8L << 20)) broadcast(outW) else outW.hint("shuffle_hash")
-    val normBase = edges.join(outWSide, "src")
-      .select(col("src"), col("dst"),
-        ((if (weighted) col("w") else lit(1.0)) / col("wtot")).as("p"))
-    // hash-partitioned ROW STREAM -> CSR blocks, grouped WITHOUT a sort:
-    // each dst lives in exactly ONE partition (hash repartition), so the
-    // slice scatter stays a plain parallel assign, and within the partition
-    // a two-pass histogram+scatter groups each dst's edges contiguously —
-    // sortWithinPartitions was 85-90% of the whole 403M-edge build wall
-    // (graft.bench.BuildProbe: repartition+drain 15.7 s vs +sort 148 s; a
-    // comparison sort + spill-merge does O(E log E) disk-touching work the
-    // CSR layout never needed, only GROUPING). Hash, not range:
-    // repartitionByRange adds a whole sampling pass over the normalize join.
-    // Per-task transients are primitive column buffers (~12-16 B/edge,
-    // doubling growth) + the final CSR arrays — no per-edge objects, no
-    // sort scratch, no spill files; partition sizing (nParts /
-    // maxPartitionBytes) bounds them the same way it bounds the old sort.
-    val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val parted = normBase
-      .repartition(nParts, col("dst"))
-      .select(col("dst"), col("src"), col("p"))
-    val useFloat = floatPrecision
-    // expected distinct dsts per partition (map sizing hint; grows if skewed)
-    val expectRows = math.max(16, (nVertices / nParts).toInt)
-    // queryExecution.toRdd (InternalRow), not .as[tuple].rdd: the typed path
-    // allocates a Tuple3 + boxed fields PER EDGE — pure GC churn at 10^8+
-    // edges; UnsafeRow field reads are allocation-free.
-    val blocks = parted.queryExecution.toRdd.mapPartitions { rows =>
-      if (!rows.hasNext) Iterator.empty
-      else {
-        // --- pass 1: drain into compact primitive columns; open-addressing
-        // dst -> dense row index (linear probing, fmix32, grow at 0.7 load).
-        // rowIdxA stores the ROW INDEX per edge so pass 2 never re-hashes.
-        var cap = Integer.highestOneBit(math.max(16, expectRows * 2) - 1) << 1
-        var keys = new Array[Int](cap); java.util.Arrays.fill(keys, -1)
-        var vals = new Array[Int](cap)
-        var nRows = 0
-        var dstsA = new Array[Int](math.max(16, expectRows))
-        var counts = new Array[Int](math.max(16, expectRows))
-        def fmix(h0: Int): Int = {
-          var h = h0
-          h ^= h >>> 16; h *= 0x85ebca6b; h ^= h >>> 13; h *= 0xc2b2ae35
-          h ^ (h >>> 16)
+    // collect (src, wtot) as packed per-partition primitive arrays — no
+    // per-row Row/tuple boxing on the driver at V=10^6-10^8
+    val wtotArr = new Array[Double](n)
+    outW.queryExecution.toRdd.mapPartitions { it =>
+      var ids = new Array[Int](1024)
+      var ws = new Array[Double](1024)
+      var m = 0
+      while (it.hasNext) {
+        val r = it.next()
+        if (m == ids.length) {
+          ids = java.util.Arrays.copyOf(ids, m * 2)
+          ws = java.util.Arrays.copyOf(ws, m * 2)
         }
-        def grow(): Unit = {
-          val nc = cap << 1
-          val nk = new Array[Int](nc); java.util.Arrays.fill(nk, -1)
-          val nv = new Array[Int](nc)
-          var i = 0
-          while (i < cap) {
-            val k = keys(i)
-            if (k >= 0) {
-              var j = fmix(k) & (nc - 1)
-              while (nk(j) >= 0) j = (j + 1) & (nc - 1)
-              nk(j) = k; nv(j) = vals(i)
-            }
-            i += 1
-          }
-          keys = nk; vals = nv; cap = nc
-        }
-        def rowIdx(dst: Int): Int = {
-          var j = fmix(dst) & (cap - 1)
-          while (true) {
-            val k = keys(j)
-            if (k == dst) return vals(j)
-            if (k < 0) {
-              if ((nRows + 1) * 10 > cap * 7) { grow(); return rowIdx(dst) }
-              keys(j) = dst; vals(j) = nRows
-              if (nRows == dstsA.length) {
-                dstsA = java.util.Arrays.copyOf(dstsA, nRows * 2)
-                counts = java.util.Arrays.copyOf(counts, nRows * 2)
-              }
-              dstsA(nRows) = dst; counts(nRows) = 0
-              nRows += 1
-              return nRows - 1
-            }
-            j = (j + 1) & (cap - 1)
-          }
-          -1 // unreachable
-        }
-        var bufCap = 1 << 20
-        var rowIdxA = new Array[Int](bufCap)
-        var srcA = new Array[Int](bufCap)
-        var pD = if (useFloat) Array.emptyDoubleArray else new Array[Double](bufCap)
-        var pF = if (useFloat) new Array[Float](bufCap) else Array.emptyFloatArray
-        var m = 0
-        while (rows.hasNext) {
-          val r = rows.next() // InternalRows are REUSED: copy fields now
-          if (m == bufCap) {
-            bufCap <<= 1
-            rowIdxA = java.util.Arrays.copyOf(rowIdxA, bufCap)
-            srcA = java.util.Arrays.copyOf(srcA, bufCap)
-            if (useFloat) pF = java.util.Arrays.copyOf(pF, bufCap)
-            else pD = java.util.Arrays.copyOf(pD, bufCap)
-          }
-          val ri = rowIdx(r.getLong(0).toInt)
-          rowIdxA(m) = ri
-          counts(ri) += 1
-          srcA(m) = r.getLong(1).toInt
-          if (useFloat) pF(m) = r.getDouble(2).toFloat else pD(m) = r.getDouble(2)
-          m += 1
-        }
-        keys = null; vals = null // map done; free before allocating CSR
-        // --- rowPtr = prefix sum; cursors advance as pass 2 scatters
-        val rowPtr = new Array[Int](nRows + 1)
-        var i = 0
-        while (i < nRows) { rowPtr(i + 1) = rowPtr(i) + counts(i); i += 1 }
-        val cur = java.util.Arrays.copyOf(rowPtr, nRows)
-        val colInd = new Array[Int](m)
-        val colVal = if (useFloat) Array.emptyDoubleArray else new Array[Double](m)
-        val colValF = if (useFloat) new Array[Float](m) else Array.emptyFloatArray
-        i = 0
-        while (i < m) {
-          val ri = rowIdxA(i); val pos = cur(ri); cur(ri) = pos + 1
-          colInd(pos) = srcA(i)
-          if (useFloat) colValF(pos) = pF(i) else colVal(pos) = pD(i)
-          i += 1
-        }
-        val dsts = new Array[Long](nRows)
-        i = 0
-        while (i < nRows) { dsts(i) = dstsA(i).toLong; i += 1 }
-        Iterator.single(CsrBlock(dsts, rowPtr, colInd, colVal, colValF))
+        ids(m) = r.getLong(0).toInt
+        ws(m) = r.getDouble(1)
+        m += 1
       }
-    }.persist(StorageLevel.MEMORY_ONLY)
+      Iterator.single((java.util.Arrays.copyOf(ids, m),
+        java.util.Arrays.copyOf(ws, m)))
+    }.collect().foreach { case (ids, ws) =>
+      var i = 0
+      while (i < ids.length) { wtotArr(ids(i)) = ws(i); i += 1 }
+    }
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val useFloat = floatPrecision
+    val wtotBc = spark.sparkContext.broadcast(wtotArr)
+    val sel = edges.select(col("dst").cast("long"), col("src").cast("long"),
+      (if (weighted) col("w") else lit(1.0)).cast("double"))
+    val blocks = graft.graph.RangedCsr
+      .buildWeighted(sel, n, nParts, useFloat, wtotBc)
+      .persist(StorageLevel.MEMORY_ONLY)
     // truncate lineage: without this every per-iteration job re-serializes
     // the whole upstream Catalyst/RDD graph into its task binary (measured
     // ~200 ms/iteration at 403M edges — 3x the kernel+scheduling floor)
     blocks.localCheckpoint()
-    // static per-partition dst ids, collected ONCE (collect preserves
-    // partition order, so slice i below always pairs with dstsByPart(i))
-    val dstsByPart: Array[Array[Long]] = blocks.map(_.dsts).collect()
-    // edge count off the CACHED blocks (an O(P) job), not edges.count():
-    // that was a third full pass over the un-materialized edge source.
-    // Counts normalized edges (out-edges of wtot>0 srcs) — exactly the
-    // edges each iteration processes, which is what the metric divides by.
+    // per-partition dst ids are closed-form under the range contract
+    // (partition p owns [p*chunk, p*chunk+len)): no collect job
+    val dstsByPart: Array[Array[Long]] = graft.graph.RangedCsr.rangeIds(n, nParts)
+    // edge count off the blocks — the one action that materializes the
+    // cache + checkpoint. Counts normalized edges (out-edges of wtot>0
+    // srcs) — exactly the edges each iteration processes.
     val nEdges = blocks.map(_.colInd.length.toLong).fold(0L)(_ + _)
 
     // dangling vertices (no positive-weight out-edge): their mass re-enters
-    // uniformly each iteration. Precomputed as a flat id array so the
-    // per-iteration driver loop is O(#dangling), not O(V).
-    val hasOut = new java.util.BitSet(n)
-    // outW IS the non-dangling set (positive out-weight per src): O(V) rows
-    // from a map-side-combined aggregate — not an O(E) distinct shuffle
-    outW.select("src").as[Long].collect().foreach(s => hasOut.set(s.toInt))
-    outW.unpersist()
+    // uniformly each iteration; wtotArr(v) == 0.0 IS "no positive out-weight"
+    // (the aggregate only populated wtot > 0 entries). O(#dangling) per
+    // iteration driver loop.
     val danglingIds: Array[Int] = {
       val b = scala.collection.mutable.ArrayBuffer.empty[Int]
       var v = 0
-      while (v < n) { if (!hasOut.get(v)) b += v; v += 1 }
+      while (v < n) { if (wtotArr(v) <= 0) b += v; v += 1 }
       b.toArray
     }
-    // in-degree-0 vertices never appear in any slice: next(v) = base always;
-    // their delta contribution is folded in driver-side (O(#uncovered)).
-    val uncoveredIds: Array[Int] = {
-      val covered = new java.util.BitSet(n)
-      dstsByPart.foreach(_.foreach(d => covered.set(d.toInt)))
-      val b = scala.collection.mutable.ArrayBuffer.empty[Int]
-      var v = 0
-      while (v < n) { if (!covered.get(v)) b += v; v += 1 }
-      b.toArray
-    }
+    // full-range blocks cover EVERY vertex (zero-in-degree rows compute
+    // base + d*0 = base in-task, matching the old driver-side fill): the
+    // uncovered set is empty by construction.
+    val uncoveredIds: Array[Int] = Array.emptyIntArray
 
     val metrics = scala.collection.mutable.ArrayBuffer.empty[IterationMetrics]
     val x: Array[Double] =

@@ -44,61 +44,25 @@ object CsrBlocks {
     }
   }
 
-  /** One-time value-less CSR build: symmetrized neighbors keyed by dst,
-    * hash-partitioned + dst-sorted row stream -> chunked flat blocks.
+  /** One-time value-less CSR build: symmetric link set (both orientations,
+    * self-loops dropped, per-row neighbor sets deduplicated — identical
+    * sets to the old `symmetrize(...).distinct()` Catalyst plan), ranged
+    * flat blocks via the packed-binary shuffle (r06 fast path — see
+    * [[RangedCsr]]: no distinct exchange, no sortWithinPartitions, 8 B/edge
+    * on the wire, histogram grouping instead of a sorted drain).
     * Returns (persisted+materialized blocks, per-partition dst arrays for
-    * the driver-side slice scatter, edge count). Caller unpersists. */
-  def build(edges: DataFrame, nParts: Int)
+    * the driver-side slice scatter, deduplicated directed link count).
+    * Caller unpersists. */
+  def build(edges: DataFrame, nVertices: Long, nParts: Int)
       : (RDD[CsrBlock], Array[Array[Long]], Long) = {
-    val sorted = AdjacencyBuilder.symmetrize(edges)
-      .repartition(nParts, col("dst"))
-      .sortWithinPartitions("dst")
-      .select(col("dst"), col("src"))
-    val chunkEdges = 4 << 20
-    val blocks = sorted.queryExecution.toRdd.mapPartitions { rows =>
-      // one-row lookahead over REUSED InternalRows (copy fields first)
-      var pDst = 0L; var pSrc = 0L
-      var pending = false
-      def fetch(): Unit =
-        if (rows.hasNext) {
-          val r = rows.next()
-          pDst = r.getLong(0); pSrc = r.getLong(1)
-          pending = true
-        } else pending = false
-      fetch()
-      new Iterator[CsrBlock] {
-        def hasNext: Boolean = pending
-        def next(): CsrBlock = {
-          val dsts = new scala.collection.mutable.ArrayBuffer[Long](1 << 16)
-          val rowPtr = new scala.collection.mutable.ArrayBuffer[Int](1 << 16)
-          var colInd = new Array[Int](chunkEdges)
-          var m = 0
-          var curDst = Long.MinValue
-          var open = false
-          rowPtr += 0
-          while (pending && (m < chunkEdges || pDst == curDst)) {
-            val dst = pDst; val src = pSrc
-            fetch()
-            if (!open || dst != curDst) {
-              if (open) rowPtr += m
-              dsts += dst
-              curDst = dst
-              open = true
-            }
-            if (m == colInd.length)
-              colInd = java.util.Arrays.copyOf(colInd, colInd.length * 2)
-            colInd(m) = src.toInt
-            m += 1
-          }
-          if (open) rowPtr += m
-          CsrBlock(dsts.toArray, rowPtr.toArray,
-            java.util.Arrays.copyOf(colInd, m),
-            Array.emptyDoubleArray, Array.emptyFloatArray)
-        }
-      }
-    }.persist(StorageLevel.MEMORY_ONLY)
+    require(nVertices <= Int.MaxValue, "flat-block builds need V <= 2^31")
+    val n = nVertices.toInt
+    val blocks = RangedCsr.buildSymmetric(
+      edges.select(col("src").cast("long"), col("dst").cast("long")),
+      n, nParts)
+      .persist(StorageLevel.MEMORY_ONLY)
     blocks.localCheckpoint() // truncate task-binary lineage (PageRankArray)
-    val dstsByPart: Array[Array[Long]] = blocks.map(_.dsts).collect()
+    val dstsByPart: Array[Array[Long]] = RangedCsr.rangeIds(n, nParts)
     val nEdges = blocks.map(_.colInd.length.toLong).fold(0L)(_ + _)
     (blocks, dstsByPart, nEdges)
   }
