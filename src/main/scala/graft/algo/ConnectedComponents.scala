@@ -113,17 +113,66 @@ object ConnectedComponents {
       "local-contract", shuffleReadBytes = d0.shuffleRead,
       shuffleWriteBytes = d0.shuffleWrite, taskSkew = d0.skew)
 
-    // ---- phase 2: pointer-jump CC over the contracted root graph ----
+    // ---- phase 2: CC over the contracted root graph ----
     // star edges minRoot(v) -> each other root of v (empty when one
     // partition saw the whole component — the common case with locality)
     val contracted = g.select(col("root").as("src"), explode(col("rs")).as("dst"))
       .filter(col("src") =!= col("dst"))
-    val roots = g.select(explode(col("rs")).as("id")).distinct()
-    val loop = pointerJump(spark, contracted, roots, cfg)
+
+    // r06 fast path (guide §1.2: the distributed algorithm first): with any
+    // partition locality the contracted graph is TINY — the bench's chain
+    // blocks leave ~#partition-boundary edges (tens of rows), yet each
+    // pointer-jump round still paid 3 shuffle-joined jobs of pure scheduler
+    ///planning floor (measured 0.8-1.5 s/round on ~30 edges). Below a
+    // broadcast-join-sized threshold, collect the star edges and run the
+    // SAME union-by-min/path-compress union-find the phase-1 tasks run —
+    // exact min-labels, zero rounds. Above the threshold (adversarial
+    // partitioning at the 10^12 design point), the pointer-jump loop is
+    // unchanged. Threshold in edges; ~32 B/edge collected, so the default
+    // 2^21 bounds the driver at the size of a modest broadcast relation.
+    val localMax = spark.conf.get("spark.graft.cc.localContractEdges", (1L << 21).toString).toLong
+    val nStar = { // Σ(|rs| - 1) in ONE cached-scan job
+      val row = g.agg(sum(size(col("rs"))).cast("long"), count(lit(1))).head()
+      row.getLong(0) - row.getLong(1)
+    }
+    val (rootLabelsDf, phase2Metrics) =
+      if (nStar <= localMax) {
+        val t2 = System.nanoTime()
+        import spark.implicits._
+        val pairs = contracted.as[(Long, Long)].collect()
+        val parent = new graft.util.LongLongMap(1 << 10)
+        def find(a: Long): Long = {
+          var r = a
+          while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+          var c = a
+          while (c != r) { val nx = parent.getOrDefault(c, c); parent.put(c, r); c = nx }
+          r
+        }
+        pairs.foreach { case (s, d) =>
+          if (!parent.contains(s)) parent.put(s, s)
+          if (!parent.contains(d)) parent.put(d, d)
+          val rs2 = find(s); val rd = find(d)
+          if (rs2 < rd) parent.put(rd, rs2)
+          else if (rd < rs2) parent.put(rs2, rd)
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+        parent.foreach { (v, _) => out += ((v, find(v))) }
+        val secs2 = (System.nanoTime() - t2) / 1e9
+        // roots untouched by any star edge label themselves (left join +
+        // coalesce below) — only merged roots need rows here
+        (spark.createDataset(out.toSeq).toDF("root", "x"),
+          Seq(IterationMetrics(1, nStar, secs2,
+            if (secs2 > 0) nStar / secs2 else 0.0, 0.0, "local-phase2",
+            shuffleReadBytes = 0L, shuffleWriteBytes = 0L)))
+      } else {
+        val roots = g.select(explode(col("rs")).as("id")).distinct()
+        val loop = pointerJump(spark, contracted, roots, cfg)
+        (loop.state.select(col("id").as("root"), col("x")), loop.metrics)
+      }
 
     // ---- stitch: vertex -> phase-2 label of its min root ----
-    val rootLabels = loop.state.select(col("id").as("root"), col("x"))
-    val vLab = g.join(broadcast(rootLabels), "root").select(col("id"), col("x"))
+    val vLab = g.join(broadcast(rootLabelsDf), Seq("root"), "left")
+      .select(col("id"), coalesce(col("x"), col("root")).as("x"))
     val labels = spark.range(nVertices).toDF("id")
       .join(vLab.hint("shuffle_hash"), Seq("id"), "left")
       .select(col("id"), coalesce(col("x"), col("id")).as("label"))
@@ -131,7 +180,7 @@ object ConnectedComponents {
     // g stays persisted deliberately: it IS the O(V) backbone of the lazy
     // `labels` plan (same ownership rule as the loop's checkpointed state —
     // the caller's unpersist/clearCache releases it after the final action)
-    Result(labels, phase1Metric +: loop.metrics)
+    Result(labels, phase1Metric +: phase2Metrics)
   }
 
   /** Min-label propagation WITH Shiloach-Vishkin-style pointer jumping over

@@ -45,6 +45,23 @@ object PageRank {
       resumeFrom: Option[(DataFrame, Int)] = None,
       bucketed: Boolean = false): Result = {
     val resolved = GatherStrategy.resolve(strategy, nVertices)
+    // r06 (guide §1.2 "the distributed algorithm first"): Auto in the
+    // broadcast regime routes to the flat-CSR broadcast-array kernel —
+    // same formula, same damping/dangling semantics, same convergence
+    // norms, ~10-30x the per-iteration throughput of the DataFrame
+    // broadcast-join plan (r05 bench: 0.38 s/iter DF vs 0.03-0.09 s/iter
+    // array at these shapes). Guards: an EXPLICIT BroadcastState request
+    // keeps the DataFrame plan (tests and lanes that exist to measure that
+    // plan), resume and bucketed builds stay on the DataFrame path, and
+    // Auto's own maxBroadcastVertices bound keeps the kernel inside its
+    // V-fits-in-memory contract.
+    strategy match {
+      case GatherStrategy.Auto(_)
+          if resolved == GatherStrategy.BroadcastState &&
+            resumeFrom.isEmpty && !bucketed =>
+        return PageRankArray.run(spark, edges, nVertices, damping, cfg, weighted)
+      case _ => ()
+    }
     val stratName = resolved.toString
     val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
