@@ -38,10 +38,22 @@ object LabelPropagation {
     val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val selfLoops = spark.range(nVertices)
       .select(col("id").as("src"), col("id").as("dst"), lit(true).as("self"))
-    val links = AdjacencyBuilder.symmetrize(edges)
+    // r06 (guide §2.4 "remove shuffles outright"): dedup AFTER the pinned
+    // repartition, not inside symmetrize — HashPartitioning(dst) satisfies
+    // the (src, dst) clustering (subset rule), so dropDuplicates plans as a
+    // partition-LOCAL aggregate over the same exchange instead of its own
+    // O(2E) shuffle. Self rows can't collide with real rows (symmetric
+    // expansion drops src == dst), so the dedup key is just (src, dst).
+    // The cached relation's partitioning guarantee (pinned dst) survives:
+    // an aggregate's output partitioning is its child's.
+    val bothDirs = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
       .withColumn("self", lit(false))
+    val links = bothDirs
       .union(selfLoops)
       .repartition(nParts, col("dst"))
+      .dropDuplicates("src", "dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nLinks = links.count() - nVertices // plumbing rows aren't edges
 

@@ -83,10 +83,20 @@ object PageRank {
     // and poison every score through the gather sums: such vertices keep no
     // out-edges and fall into the dangling set instead (computed from
     // normBase below), which is the probabilistically correct reading.
+    // outW persisted at its O(V) aggregate output: consumed by BOTH the
+    // normalize join and the dangling anti-join below — without it each
+    // consumer re-runs the O(E) aggregation scan (r06; guide §5 caching).
     val outW = edges.groupBy("src").agg(
       (if (weighted) sum("w") else count(lit(1)).cast("double")).as("wtot"))
       .filter(col("wtot") > 0)
-    val normBase = edges.join(outW, "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // normalize-join shape (r06, guide §3.1): broadcast the O(V) weight
+    // side below 8M vertices so the O(E) edge stream never shuffles for
+    // the join; above that, shuffle_hash — default sort-merge would SORT
+    // the O(E) side just to normalize it.
+    val outWSide =
+      if (nVertices <= (8L << 20)) broadcast(outW) else outW.hint("shuffle_hash")
+    val normBase = edges.join(outWSide, "src")
       .select(col("src"), col("dst"),
         ((if (weighted) col("w") else lit(1.0)) / col("wtot")).as("p"))
     val zeros = spark.range(nVertices)
@@ -107,16 +117,38 @@ object PageRank {
     //     bucketed edge table on distributed storage that iterations scan
     //     in place.
     val bucketTable = s"graft_norm_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // r06, ShuffleJoin cache only (guide §2.3): pin the partitioning on a
+    // COARSENED src block (_blk = src div B, ~64 blocks/partition) instead
+    // of hash(src). Joining on (_blk, src) is semantically identical (blk
+    // is a function of src on both sides) and Catalyst still sees the
+    // cached partitioning (HashPartitioning(_blk) ⊆ clustering {_blk,src}),
+    // but rows with NEARBY ids now share partitions, so on id-local graphs
+    // the post-join partial aggregation collapses to ~V/P groups before
+    // the exchange — the per-iteration shuffle dropped 347 MB -> ~30 MB at
+    // 2^20x16 (Gather.gather blockKey scaladoc). Hash of many small blocks,
+    // not ranges: no sampling pass, and hot id regions spread across
+    // partitions at block granularity.
+    val blkSize = math.max(1L, nVertices / (nParts.toLong * 64))
+    val blockKey: Option[(String, Long)] = resolved match {
+      case GatherStrategy.ShuffleJoin if !bucketed => Some(("_blk", blkSize))
+      case _ => None
+    }
     val norm =
       if (bucketed) {
         normBase.union(zeros).write.mode("overwrite")
           .bucketBy(nParts, partKeyName)
           .format("parquet").saveAsTable(bucketTable)
         spark.table(bucketTable)
-      } else {
-        normBase.union(zeros)
-          .repartition(nParts, col(partKeyName))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+      } else blockKey match {
+        case Some((blkCol, b)) =>
+          normBase.union(zeros)
+            .withColumn(blkCol, expr(s"src div $b"))
+            .repartition(nParts, col(blkCol))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        case None =>
+          normBase.union(zeros)
+            .repartition(nParts, col(partKeyName))
+            .persist(StorageLevel.MEMORY_AND_DISK)
       }
     val nEdges = norm.count() - nVertices // real edges only, for throughput
 
@@ -125,9 +157,11 @@ object PageRank {
     // iteration plan — one Spark job per iteration, no driver-side scalar
     // round-trip (the reference's trailing-isolated-vertex hazard,
     // SURVEY.md §1.3.4, handled as PageRank dangling mass).
+    // outW IS the non-dangling set (one row per src with wtot > 0, exactly
+    // the srcs surviving the normalize join): anti-join against the O(V)
+    // cached aggregate, not an O(E) distinct re-scan of normBase (r06).
     val dangling = spark.range(nVertices).toDF("id")
-      .join(normBase.select(col("src").as("id")).distinct(),
-        Seq("id"), "left_anti")
+      .join(outW.select(col("src").as("id")), Seq("id"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nDangling = dangling.count()
 
@@ -139,7 +173,16 @@ object PageRank {
       .getOrElse(vertices.select(col("id"), lit(1.0 / nVertices).as("x")))
     val startIter = resumeFrom.map(_._2).getOrElse(0)
 
-    val loop: LoopResult = Iterate.loop(init, cfg, nEdges, stratName, startIter) {
+    // the _blk co-partitioning is a deliberate SUBSET of the join keys
+    // (HashPartitioning(_blk) under clustering {_blk, src}); Spark 3.3+'s
+    // requireAllClusterKeysForCoPartition=true would re-shuffle the cached
+    // norm every iteration to (_blk, src) — scope-disable it for the loop
+    // (set/restore, the LP fallbackThreshold pattern). Skew guard stays:
+    // _blk has ~64x more distinct values than partitions.
+    val coPartKey = "spark.sql.requireAllClusterKeysForCoPartition"
+    val coPartPrev = spark.conf.get(coPartKey, "true")
+    if (blockKey.isDefined) spark.conf.set(coPartKey, "false")
+    val loop: LoopResult = try Iterate.loop(init, cfg, nEdges, stratName, startIter) {
       (state, _) =>
         // zero self-contributions guarantee every vertex appears: the gather
         // output IS the dense state, no completion join. The same diagonal
@@ -149,7 +192,7 @@ object PageRank {
         // old-vs-new dist join.
         val completed = Gather
           .gather(norm, state, keyCol = "dst", lookupCol = "src", pCol = "p",
-            resolved, withOldState = true)
+            resolved, withOldState = true, blockKey = blockKey)
           .select(col("dst").as("id"), col("x").as("g"), col("x_old"))
         if (nDangling == 0) {
           completed.select(col("id"),
@@ -166,8 +209,9 @@ object PageRank {
                 lit(damping) * (col("g") + col("dm") / nVertices)).as("x"),
               col("x_old"))
         }
-    }
+    } finally spark.conf.set(coPartKey, coPartPrev)
     dangling.unpersist()
+    outW.unpersist()
     if (bucketed) spark.sql(s"DROP TABLE IF EXISTS $bucketTable")
     else norm.unpersist()
     Result(loop.state, loop.metrics, resolved)

@@ -28,9 +28,13 @@ object TriangleCount {
     val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
       .withColumnRenamed("src", "id")
     // und with both degrees; keep each undirected edge once, oriented.
+    // shuffle_hash hints (r06, guide §3.1): the O(V) degree side builds the
+    // hash table; default sort-merge would sort the O(E) edge side twice.
     und.filter(col("src") < col("dst")) // one representative per pair
-      .join(deg.select(col("id").as("src"), col("deg").as("ds")), "src")
-      .join(deg.select(col("id").as("dst"), col("deg").as("dd")), "dst")
+      .join(deg.select(col("id").as("src"), col("deg").as("ds"))
+        .hint("shuffle_hash"), "src")
+      .join(deg.select(col("id").as("dst"), col("deg").as("dd"))
+        .hint("shuffle_hash"), "dst")
       .select(
         when(col("ds") < col("dd") ||
           (col("ds") === col("dd") && col("src") < col("dst")),
@@ -45,11 +49,11 @@ object TriangleCount {
     try {
       val e1 = o.select(col("src").as("a"), col("dst").as("b"))
       val e2 = o.select(col("src").as("b2"), col("dst").as("c"))
-      val wedges = e1.join(e2, col("b") === col("b2"))
+      val wedges = e1.join(e2.hint("shuffle_hash"), col("b") === col("b2"))
         .select(col("a"), col("b"), col("c"))
       wedges
-        .join(o.select(col("src").as("a"), col("dst").as("c")),
-          Seq("a", "c"), "left_semi")
+        .join(o.select(col("src").as("a"), col("dst").as("c"))
+          .hint("shuffle_hash"), Seq("a", "c"), "left_semi")
         .count()
     } finally { o.unpersist(); () }
   }
@@ -60,10 +64,10 @@ object TriangleCount {
     val o = orient(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val e1 = o.select(col("src").as("a"), col("dst").as("b"))
     val e2 = o.select(col("src").as("b2"), col("dst").as("c"))
-    val tris = e1.join(e2, col("b") === col("b2"))
+    val tris = e1.join(e2.hint("shuffle_hash"), col("b") === col("b2"))
       .select(col("a"), col("b"), col("c"))
-      .join(o.select(col("src").as("a"), col("dst").as("c")),
-        Seq("a", "c"), "left_semi")
+      .join(o.select(col("src").as("a"), col("dst").as("c"))
+        .hint("shuffle_hash"), Seq("a", "c"), "left_semi")
     val out = tris
       .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("triangles"))

@@ -72,6 +72,19 @@ object Gather {
     *   This is what feeds the loop's fused convergence delta
     *   (Iterate/IterConfig: the delta becomes a join-free scan-agg of the
     *   materialized state — no old-vs-new shuffle join). */
+  /** @param blockKey r06 (guide §2.3 "aggregate before you shuffle"): when
+    *   `msgs` is pre-partitioned on a COARSENED id block `blkCol = lookup
+    *   div B` (instead of hash(lookup) directly), rows with nearby vertex
+    *   ids stay in one partition, so on id-local graphs (bands, url-sorted
+    *   web crawls — the ConnectedComponents phase-1 locality argument) the
+    *   post-join partial aggregation actually reduces: hash(src) scatters
+    *   each partition's dsts across the whole id space and the "partial"
+    *   agg re-emitted ~80% of the join output (measured 347 MB/iter at
+    *   2^20x16 vs ~30 MB with blocks). Pass Some((blkColName, B)); the
+    *   join adds blkCol to the equi-keys (blk is a function of the lookup
+    *   id on both sides, so the join result is IDENTICAL) and Catalyst
+    *   recognizes HashPartitioning(blkCol) ⊆ {blkCol, lookupCol} — the
+    *   cached msgs still never re-shuffle. */
   def gather(
       msgs: DataFrame,
       state: DataFrame,
@@ -79,7 +92,8 @@ object Gather {
       lookupCol: String,
       pCol: String,
       strategy: GatherStrategy,
-      withOldState: Boolean = false): DataFrame = {
+      withOldState: Boolean = false,
+      blockKey: Option[(String, Long)] = None): DataFrame = {
     val st = state.select(col("id").as(lookupCol), col("x"))
     val joined = strategy match {
       case GatherStrategy.BroadcastState => msgs.join(broadcast(st), lookupCol)
@@ -89,7 +103,12 @@ object Gather {
         // and ~2x iteration time at 100M edges). SHJ builds a hash table on
         // the O(V) state side and streams the edges unsorted — the shape a
         // per-iteration gather wants at any scale.
-        msgs.join(st.hint("shuffle_hash"), lookupCol)
+        blockKey match {
+          case Some((blkCol, b)) =>
+            val stB = st.withColumn(blkCol, expr(s"$lookupCol div $b"))
+            msgs.join(stB.hint("shuffle_hash"), Seq(blkCol, lookupCol))
+          case None => msgs.join(st.hint("shuffle_hash"), lookupCol)
+        }
     }
     val base = joined.groupBy(keyCol)
     if (withOldState)

@@ -103,12 +103,33 @@ object Mtx {
       }
     } finally src.close()
     val h = parseHeader(head.toSeq)
-    val prefixLen = head.length.toLong // lines consumed incl. size line
+    val prefixLen = head.length // lines consumed incl. size line
     import spark.implicits._
-    val body = spark.sparkContext.textFile(path).zipWithIndex()
-      .filter { case (l, i) =>
-        i >= prefixLen && !l.startsWith("%") && l.trim.nonEmpty }
-      .map(_._1).toDF("line")
+    // r06: for large files, drop the header lines in partition 0 directly
+    // instead of zipWithIndex — zipWithIndex runs a WHOLE extra pass over
+    // the file just to count lines per split (guide §1.2: don't compute
+    // what you throw away). Sound only when the whole header provably fits
+    // in split 0: Hadoop's line reader assigns a line to the split holding
+    // its first byte, and text splits are >= min(fileLen/2, 32 MB), so a
+    // >= 1 MB file with a <= 64 KB header keeps every header line (and
+    // therefore the first prefixLen lines) in split 0. Small files — where
+    // a split can start mid-header — keep the index-exact zipWithIndex
+    // path; its extra pass is noise there.
+    val fileLen = fs.getFileStatus(hPath).getLen
+    val headerBytes = head.map(_.length + 2L).sum // upper bound incl. \r\n
+    val body =
+      (if (fileLen >= (1L << 20) && headerBytes <= (64L << 10)) {
+        spark.sparkContext.textFile(path)
+          .mapPartitionsWithIndex { (pi, it) =>
+            val afterHeader = if (pi == 0) it.drop(prefixLen) else it
+            afterHeader.filter(l => !l.startsWith("%") && l.trim.nonEmpty)
+          }
+      } else {
+        spark.sparkContext.textFile(path).zipWithIndex()
+          .filter { case (l, i) =>
+            i >= prefixLen && !l.startsWith("%") && l.trim.nonEmpty }
+          .map(_._1)
+      }).toDF("line")
     (h, parseBody(body, h))
   }
 }
