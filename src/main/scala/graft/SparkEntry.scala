@@ -128,6 +128,36 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Unrolled LP SQL over the hub-skewed generator (lp_skew_salted oracle):
+    * identical round semantics to sqlLabelProp — symmetrized deduplicated
+    * links, no self-loops, (count desc, label asc) argmax — over
+    * Synth.skew's edge set. The Spark side runs the SALTED two-phase
+    * aggregation; the oracle is single-phase, so a salting bug that
+    * miscounts any histogram diverges here. */
+  private def sqlLabelPropSkew(n: Long, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH ${sqlSkew(n)},
+      |links AS (SELECT DISTINCT src, dst FROM (
+      |            SELECT src, dst FROM edges WHERE src <> dst
+      |            UNION ALL
+      |            SELECT dst AS src, src AS dst FROM edges WHERE src <> dst)),
+      |v AS (SELECT i AS id FROM range(0, $n) t(i)),
+      |x0 AS (SELECT id, id AS label FROM v)""".stripMargin)
+    for (k <- 1 to iters) {
+      sb.append(s""",
+        |h$k AS (SELECT l.src, x.label AS nl, count(*) AS c
+        |        FROM links l JOIN x${k - 1} x ON l.dst = x.id GROUP BY 1, 2),
+        |w$k AS (SELECT src AS id, nl AS label FROM (
+        |          SELECT src, nl, row_number() OVER (
+        |            PARTITION BY src ORDER BY c DESC, nl ASC) AS rn FROM h$k)
+        |        WHERE rn = 1),
+        |x$k AS (SELECT p.id, coalesce(w.label, p.label) AS label
+        |        FROM x${k - 1} p LEFT JOIN w$k w USING (id))""".stripMargin)
+    }
+    sb.append(s"\nSELECT id, label FROM x$iters ORDER BY id")
+    sb.toString
+  }
+
   /** Shared CTE prefix replicating Ann's hyperplane-LSH signatures in SQL:
     * same closed-form plane hash (Ann.planeComponent), same sign-bit packing,
     * same corpus-size-derived bits (Ann.bitsFor) — the oracle reproduces the
@@ -320,6 +350,22 @@ object SparkEntry {
     "lp_array" -> ((s, _) =>
       LabelPropagationArray.run(s, Synth.blocks(s, CC_N, CC_B), CC_N, maxIter = 5)
         .labels.orderBy("id")),
+
+    // --- LP on the hub-skewed generator with SALTED two-phase rounds
+    // (r06, VERDICT r05 #3): spark.graft.lp.salts=8 splits every vertex's
+    // neighbor-label histogram across (src, salt) partial buffers before
+    // the per-src merge — the hub-OOM guard — and must be label-identical
+    // to the unrolled single-phase SQL oracle. ---
+    "lp_skew_salted" -> ((s, _) => {
+      val prev = s.conf.getOption("spark.graft.lp.salts")
+      s.conf.set("spark.graft.lp.salts", "8")
+      try LabelPropagation.run(s, Synth.skew(s, SKEW_N), SKEW_N, maxIter = 3)
+        .labels.orderBy("id")
+      finally prev match {
+        case Some(v) => s.conf.set("spark.graft.lp.salts", v)
+        case None => s.conf.unset("spark.graft.lp.salts")
+      }
+    }),
 
     // --- north rule: triangle counting ---
     "triangles_band" -> ((s, _) => {
@@ -619,6 +665,8 @@ object SparkEntry {
       s"SELECT i AS id, (i // $CC_B) * $CC_B AS label FROM range(0, $CC_N) t(i) ORDER BY id",
 
     "lp_blocks" -> sqlLabelProp(CC_N, CC_B, 5),
+
+    "lp_skew_salted" -> sqlLabelPropSkew(SKEW_N, 3),
 
     "lp_array" -> sqlLabelProp(CC_N, CC_B, 5),
 

@@ -71,40 +71,14 @@ case class LabelMode(
     b
   }
 
-  override def eval(b: LabelMode.Hist): Any = {
-    // (count desc, label asc) argmax over the histogram
-    var bestLabel = Long.MaxValue
-    var bestCnt = 0L
-    b.counts.foreach { (l, c) =>
-      if (c > bestCnt || (c == bestCnt && l < bestLabel)) {
-        bestCnt = c; bestLabel = l
-      }
-    }
-    val own = if (b.ownSet) b.own else bestLabel
-    val mode = if (bestCnt > 0) bestLabel else own
-    InternalRow(mode, own)
-  }
+  override def eval(b: LabelMode.Hist): Any = LabelMode.evalMode(b)
 
-  override def serialize(b: LabelMode.Hist): Array[Byte] = {
-    // little-endian pinned: partial-agg buffers cross executor boundaries
-    val bb = ByteBuffer.allocate(1 + 8 + 4 + b.counts.size * 16)
-      .order(ByteOrder.LITTLE_ENDIAN)
-    bb.put(if (b.ownSet) 1.toByte else 0.toByte)
-    bb.putLong(b.own)
-    bb.putInt(b.counts.size)
-    b.counts.foreach { (k, v) => bb.putLong(k); bb.putLong(v) }
-    bb.array()
-  }
+  // little-endian pinned: partial-agg buffers cross executor boundaries
+  override def serialize(b: LabelMode.Hist): Array[Byte] =
+    LabelMode.serializeHist(b)
 
-  override def deserialize(bytes: Array[Byte]): LabelMode.Hist = {
-    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    val h = new LabelMode.Hist
-    h.ownSet = bb.get() == 1
-    h.own = bb.getLong
-    var n = bb.getInt
-    while (n > 0) { h.counts.addTo(bb.getLong, bb.getLong); n -= 1 }
-    h
-  }
+  override def deserialize(bytes: Array[Byte]): LabelMode.Hist =
+    LabelMode.deserializeInto(new LabelMode.Hist, bytes)
 
   override def withNewMutableAggBufferOffset(off: Int): LabelMode =
     copy(mutableAggBufferOffset = off)
@@ -129,6 +103,39 @@ object LabelMode {
     var ownSet: Boolean = false
   }
 
+  private[functions] def serializeHist(b: Hist): Array[Byte] = {
+    val bb = ByteBuffer.allocate(1 + 8 + 4 + b.counts.size * 16)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(if (b.ownSet) 1.toByte else 0.toByte)
+    bb.putLong(b.own)
+    bb.putInt(b.counts.size)
+    b.counts.foreach { (k, v) => bb.putLong(k); bb.putLong(v) }
+    bb.array()
+  }
+
+  private[functions] def deserializeInto(h: Hist, bytes: Array[Byte]): Hist = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    if (bb.get() == 1) { h.own = bb.getLong; h.ownSet = true }
+    else bb.getLong
+    var n = bb.getInt
+    while (n > 0) { h.counts.addTo(bb.getLong, bb.getLong); n -= 1 }
+    h
+  }
+
+  private[functions] def evalMode(b: Hist): Any = {
+    // (count desc, label asc) argmax over the histogram
+    var bestLabel = Long.MaxValue
+    var bestCnt = 0L
+    b.counts.foreach { (l, c) =>
+      if (c > bestCnt || (c == bestCnt && l < bestLabel)) {
+        bestCnt = c; bestLabel = l
+      }
+    }
+    val own = if (b.ownSet) b.own else bestLabel
+    val mode = if (bestCnt > 0) bestLabel else own
+    InternalRow(mode, own)
+  }
+
   /** Column wrapper: `labelMode(label, isSelf)` aggregates to
     * struct(x = neighbor mode, x_old = own previous label). */
   def labelMode(label: Column, isSelf: Column): Column =
@@ -137,4 +144,127 @@ object LabelMode {
         org.apache.spark.sql.graft.bridge.expression(label),
         org.apache.spark.sql.graft.bridge.expression(isSelf))
         .toAggregateExpression())
+
+  /** Column wrapper: `labelHist(label, isSelf)` aggregates to the SERIALIZED
+    * partial histogram (binary) — phase 1 of the salted hub-safe LP round
+    * (grouped by (src, salt), so one 10^8-in-degree hub's histogram is
+    * split across `salts` bounded buffers; VERDICT r05 "What's wrong #2"). */
+  def labelHist(label: Column, isSelf: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      LabelHist(
+        org.apache.spark.sql.graft.bridge.expression(label),
+        org.apache.spark.sql.graft.bridge.expression(isSelf))
+        .toAggregateExpression())
+
+  /** Column wrapper: `labelModeMerge(histBytes)` merges phase-1 serialized
+    * histograms per src and evals the same (count desc, label asc) argmax
+    * struct as [[labelMode]] — phase 2 of the salted round. */
+  def labelModeMerge(hist: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      LabelModeMerge(
+        org.apache.spark.sql.graft.bridge.expression(hist))
+        .toAggregateExpression())
+}
+
+/** Phase 1 of the salted LP round: same buffer/update as [[LabelMode]] but
+  * eval() RETURNS the serialized histogram instead of the argmax, so the
+  * (src, salt) partials can be re-merged per src in phase 2. Grouping by
+  * (src, salt) bounds any single aggregation buffer to ~deg/salts entries
+  * — the hub-histogram memory bound. */
+case class LabelHist(
+    label: Expression,
+    isSelf: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[LabelMode.Hist]
+  with BinaryLike[Expression] with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.graft.bridge.AbstractDataType] =
+    Seq(LongType, BooleanType)
+  override def left: Expression = label
+  override def right: Expression = isSelf
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LabelHist =
+    copy(label = newLeft, isSelf = newRight)
+
+  override def createAggregationBuffer(): LabelMode.Hist = new LabelMode.Hist
+
+  override def update(b: LabelMode.Hist, input: InternalRow): LabelMode.Hist = {
+    val l = label.eval(input)
+    val s = isSelf.eval(input)
+    if (l != null) {
+      val lv = l.asInstanceOf[Long]
+      if (s != null && s.asInstanceOf[Boolean]) { b.own = lv; b.ownSet = true }
+      else b.counts.addTo(lv, 1L)
+    }
+    b
+  }
+
+  override def merge(b: LabelMode.Hist, o: LabelMode.Hist): LabelMode.Hist = {
+    o.counts.foreach { (k, v) => b.counts.addTo(k, v); () }
+    if (o.ownSet) { b.own = o.own; b.ownSet = true }
+    b
+  }
+
+  override def eval(b: LabelMode.Hist): Any = LabelMode.serializeHist(b)
+  override def serialize(b: LabelMode.Hist): Array[Byte] = LabelMode.serializeHist(b)
+  override def deserialize(bytes: Array[Byte]): LabelMode.Hist =
+    LabelMode.deserializeInto(new LabelMode.Hist, bytes)
+
+  override def withNewMutableAggBufferOffset(off: Int): LabelHist =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): LabelHist =
+    copy(inputAggBufferOffset = off)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "label_hist"
+}
+
+/** Phase 2 of the salted LP round: merge the per-(src, salt) serialized
+  * histograms of [[LabelHist]] and eval the identical argmax struct as
+  * [[LabelMode]]. Buffer size here is the number of DISTINCT labels with
+  * nonzero count across salts — bounded by the true label diversity, and
+  * each incoming partial is already ≤ deg/salts entries. */
+case class LabelModeMerge(
+    hist: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[LabelMode.Hist]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression]
+  with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.graft.bridge.AbstractDataType] =
+    Seq(BinaryType)
+  override def child: Expression = hist
+  override protected def withNewChildInternal(newChild: Expression): LabelModeMerge =
+    copy(hist = newChild)
+
+  override def createAggregationBuffer(): LabelMode.Hist = new LabelMode.Hist
+
+  override def update(b: LabelMode.Hist, input: InternalRow): LabelMode.Hist = {
+    val v = hist.eval(input)
+    if (v != null) LabelMode.deserializeInto(b, v.asInstanceOf[Array[Byte]])
+    b
+  }
+
+  override def merge(b: LabelMode.Hist, o: LabelMode.Hist): LabelMode.Hist = {
+    o.counts.foreach { (k, v) => b.counts.addTo(k, v); () }
+    if (o.ownSet) { b.own = o.own; b.ownSet = true }
+    b
+  }
+
+  override def eval(b: LabelMode.Hist): Any = LabelMode.evalMode(b)
+  override def serialize(b: LabelMode.Hist): Array[Byte] = LabelMode.serializeHist(b)
+  override def deserialize(bytes: Array[Byte]): LabelMode.Hist =
+    LabelMode.deserializeInto(new LabelMode.Hist, bytes)
+
+  override def withNewMutableAggBufferOffset(off: Int): LabelModeMerge =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): LabelModeMerge =
+    copy(inputAggBufferOffset = off)
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("x", LongType, nullable = false),
+    StructField("x_old", LongType, nullable = false)))
+  override def prettyName: String = "label_mode_merge"
 }
