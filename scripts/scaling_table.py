@@ -14,13 +14,22 @@ import json, statistics, sys
 def main(path, label=""):
     runs = [json.loads(l) for l in open(path) if l.strip().startswith("{")]
     lo = min(r["cores"] for r in runs)
-    pairs, i = [], 0
+    pairs, i, skipped = [], 0, []
     while i + 1 < len(runs):
         a, b = runs[i], runs[i + 1]
         if a["cores"] == lo and b["cores"] == 4 * lo:
             pairs.append((a, b)); i += 2
         else:
-            i += 1
+            skipped.append((i, a)); i += 1
+    if i < len(runs):
+        skipped.append((i, runs[i]))
+    # no silent caps (ADVICE r05): every record the adjacency pairing drops
+    # is disclosed, so an orphan/retried leg can never vanish from the table
+    for idx, r in skipped:
+        print(f"WARNING: record {idx} (cores={r['cores']}, "
+              f"seconds={r.get('seconds', float('nan')):.2f}, "
+              f"min_iter={r.get('min_iter_secs', float('nan')):.2f}) "
+              f"is unpaired and EXCLUDED from the table", file=sys.stderr)
     print(f"| pair | N min-iter (s) | 4N min-iter (s) | min-iter eff | "
           f"wall eff | loads N/4N |")
     print("|---|---|---|---|---|---|")

@@ -87,7 +87,7 @@ object ConnectedComponentsArray {
         }
         (packL(out), ch)
       }.collect()
-      bc.destroy()
+      bc.unpersist(false) // non-blocking (destroy() is a blocking RPC per iteration)
       val next = x.clone() // uncovered (isolated) vertices keep their label
       // disjoint per-block dst sets -> racefree parallel plain assign
       java.util.stream.IntStream.range(0, slices.length).parallel().forEach { pi =>

@@ -50,10 +50,23 @@ object LabelPropagation {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .withColumn("self", lit(false))
+    // _blk co-partitioning (r06, the PageRank Change-4 move — see
+    // Gather.gather blockKey scaladoc): pin the cache on a coarsened id
+    // block of the JOIN key so that on id-local graphs the groupBy(src)
+    // partial aggregation collapses before the exchange (hash(dst) alone
+    // scatters each vertex's 2-3 neighbor rows across unrelated
+    // partitions, so the "partial" histograms multiplied instead of
+    // merging). Join on (_blk, dst) is identical (blk is a function of
+    // dst on both sides).
+    val blkSize = math.max(1L, nVertices / (nParts.toLong * 64))
     val links = bothDirs
       .union(selfLoops)
-      .repartition(nParts, col("dst"))
-      .dropDuplicates("src", "dst")
+      .withColumn("_blk", expr(s"dst div $blkSize"))
+      .repartition(nParts, col("_blk"))
+      // dedup key includes _blk (a function of dst — same key set) so
+      // HashPartitioning(_blk) ⊆ the dedup clustering and the aggregate
+      // stays partition-local over the pinned exchange
+      .dropDuplicates("src", "dst", "_blk")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nLinks = links.count() - nVertices // plumbing rows aren't edges
 
@@ -90,6 +103,11 @@ object LabelPropagation {
     // Default 1 (single-phase): the second exchange is pure overhead when
     // no vertex's neighbor-label diversity threatens executor memory.
     val salts = spark.conf.get("spark.graft.lp.salts", "1").toInt
+    // subset-key co-partitioning for the per-round join (the PageRank
+    // Change-4 conf scope: _blk ⊂ {_blk, dst} is deliberate)
+    val coPartKey = "spark.sql.requireAllClusterKeysForCoPartition"
+    val coPartPrev = spark.conf.get(coPartKey, "true")
+    spark.conf.set(coPartKey, "false")
     val loop =
       try Iterate.loop(init, cfg, nLinks, "sync-lp") { (state, _) =>
         // ONE join + ONE aggregate per round (VERDICT r04 #5 rework): the
@@ -97,10 +115,12 @@ object LabelPropagation {
         // histograms map-side, so the single shuffle carries serialized
         // (label, count) maps — not the exploded (src, label, cnt) relation
         // the old groupBy(src, label) + groupBy(src) double shuffle moved.
-        // SHJ hint: links are cached pinned on dst; hash-build the O(V)
+        // SHJ hint: links are cached pinned on _blk; hash-build the O(V)
         // state side instead of sort-merging (re-sorting) the O(E) links.
         val joined = links
-          .join(state.withColumnRenamed("id", "dst").hint("shuffle_hash"), "dst")
+          .join(state.withColumnRenamed("id", "dst")
+            .withColumn("_blk", expr(s"dst div $blkSize"))
+            .hint("shuffle_hash"), Seq("_blk", "dst"))
         val agged =
           if (salts <= 1)
             joined.groupBy("src")
@@ -113,7 +133,10 @@ object LabelPropagation {
               .agg(graft.functions.LabelMode.labelModeMerge(col("h")).as("m"))
         agged.select(col("src").as("id"), col("m.x").as("x"),
           col("m.x_old").as("x_old"))
-      } finally spark.conf.set(fbKey, fbPrev)
+      } finally {
+        spark.conf.set(fbKey, fbPrev)
+        spark.conf.set(coPartKey, coPartPrev)
+      }
     links.unpersist()
     Result(
       loop.state.select(col("id"), col("x").as("label")),

@@ -263,7 +263,7 @@ object PageRankArray {
         }
         (packD(out), pd)
       }.collect()
-      bc.destroy()
+      bc.unpersist(false) // non-blocking (destroy() is a blocking RPC per iteration)
       java.util.Arrays.fill(next, base)
       val nx = next
       // every dst lives in exactly ONE block (hash repartition on dst,
@@ -337,7 +337,7 @@ object PageRankArray {
         }
         (packF(out), pd)
       }.collect()
-      bc.destroy()
+      bc.unpersist(false) // non-blocking (destroy() is a blocking RPC per iteration)
       java.util.Arrays.fill(next, base)
       val nx = next
       // disjoint per-block dst sets (see iterateD) -> parallel plain assign

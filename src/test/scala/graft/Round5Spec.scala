@@ -45,11 +45,12 @@ class Round5Spec extends SparkSuite {
     // Same run at two iteration counts; tol tiny so delta never stops the
     // loop. The difference isolates the per-iteration job count — setup
     // (normalize, dangling, init) and teardown jobs cancel out exactly.
-    // 2 jobs = the materialization job + the O(V) scan-agg delta over the
-    // just-cached state (job-floor cost, NO old-vs-new shuffle join —
-    // r04's dist() was a third job AND a join; the retired one-job
-    // accumulator fusion broke the state's hash partitioning, see
-    // Iterate's IterConfig scaladoc).
+    // r06 tightened this from 2 jobs to ONE: the checkpoint is LAZY in
+    // fused-convergence mode, so the scan-agg delta both materializes the
+    // cache/checkpoint AND computes the delta in a single job (no
+    // old-vs-new shuffle join either — r04's dist() was a third job AND a
+    // join; the retired one-job accumulator fusion broke the state's hash
+    // partitioning, see Iterate's IterConfig scaladoc).
     def jobs(iters: Int): Int = countJobs {
       PageRank.run(spark, Synth.band(spark, 256, 4), 256,
         cfg = IterConfig(tol = 1e-300, maxIter = iters, norm = "l1"),
@@ -57,17 +58,18 @@ class Round5Spec extends SparkSuite {
     }
     val j3 = jobs(3)
     val j6 = jobs(6)
-    assert(j6 - j3 === 6,
-      s"each convergence-mode iteration must cost exactly 2 jobs " +
-        s"(materialize + scan delta, no dist join): got ${j6 - j3} jobs per 3 iters ($j3 -> $j6)")
+    assert(j6 - j3 === 3,
+      s"each convergence-mode iteration must cost exactly ONE job " +
+        s"(the scan delta materializes cache + lazy checkpoint): got ${j6 - j3} jobs per 3 iters ($j3 -> $j6)")
   }
 
-  test("r04 #1: CKPT=3 convergence iterations cost 4 jobs per 3 iterations") {
+  test("r04 #1: CKPT=3 convergence iterations cost 3 jobs per 3 iterations") {
     // Non-checkpoint iterations persist lazily; the scan-agg delta is the
     // ONE action that both materializes the cache and computes the delta
     // (InMemoryRelation builds full-row batches on first scan, whatever the
-    // projection). Only the checkpoint-boundary iteration pays 2 jobs
-    // (eager localCheckpoint + scan). 3 iterations = 1 + 1 + 2 = 4 jobs.
+    // projection). r06: the checkpoint-boundary iteration is lazy too
+    // (localCheckpoint(eager=false) — the delta scan performs the marked
+    // checkpoint inside its own job), so 3 iterations = 1 + 1 + 1 = 3 jobs.
     def jobs(iters: Int): Int = countJobs {
       PageRank.run(spark, Synth.band(spark, 256, 4), 256,
         cfg = IterConfig(tol = 1e-300, maxIter = iters, norm = "l1",
@@ -76,9 +78,9 @@ class Round5Spec extends SparkSuite {
     }
     val j3 = jobs(3)
     val j6 = jobs(6)
-    assert(j6 - j3 === 4,
-      s"CKPT=3 must cost 4 jobs per 3 iterations (scan delta doubles as " +
-        s"the persist materializer): got ${j6 - j3} ($j3 -> $j6)")
+    assert(j6 - j3 === 3,
+      s"CKPT=3 must cost 3 jobs per 3 iterations (scan delta doubles as " +
+        s"the persist/checkpoint materializer): got ${j6 - j3} ($j3 -> $j6)")
   }
 
   test("r04 #1: fused-l1 delta stops the loop and computes the same states") {
@@ -171,8 +173,9 @@ class Round5Spec extends SparkSuite {
     val r = LabelPropagation.run(spark, Synth.blocks(spark, 120, 30), 120,
       maxIter = 1)
     assert(r.labels.count() === 120)
-    // job-count form: one LP round = 2 jobs (materialize + join-free scan
-    // delta), same two-config isolation as the PageRank test
+    // job-count form: one LP round = ONE job (the join-free scan delta
+    // materializes cache + lazy checkpoint, r06), same two-config
+    // isolation as the PageRank test
     def jobs(iters: Int): Int = countJobs {
       LabelPropagation.run(spark, Synth.blocks(spark, 120, 30), 120,
         maxIter = iters)
@@ -180,8 +183,8 @@ class Round5Spec extends SparkSuite {
     // blocks(120,30) sync-LP needs >6 rounds to settle, so both runs hit
     // the cap and the difference is pure per-iteration cost
     val j2 = jobs(2); val j4 = jobs(4)
-    assert(j4 - j2 === 4,
-      s"each LP round must cost exactly 2 jobs: got ${j4 - j2} jobs per 2 rounds")
+    assert(j4 - j2 === 2,
+      s"each LP round must cost exactly ONE job: got ${j4 - j2} jobs per 2 rounds")
   }
 
   // ---------- #5: LSH joins ship no arrays before pair-dedup ----------
